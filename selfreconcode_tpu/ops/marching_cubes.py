@@ -1,0 +1,187 @@
+"""Fixed-capacity marching cubes in pure JAX (jit-compiled, deterministic).
+
+Replaces the reference's CUDA MC (MCGpu/CudaKernels.cu) which relies on
+atomicAdd/atomicExch for lock-free vertex dedup and a host sync to read
+vertex/face counts (CudaKernels.cu:385,473-478,628).  The TPU formulation is
+a deterministic two-pass prefix-sum scheme with static shapes:
+
+  pass 1: per-grid-edge crossing flags -> exclusive cumsum = unique vertex
+          ids (the shared-edge dedup the CUDA kernel does with atomics);
+  pass 2: active (surface) cubes are compacted to a fixed capacity, their
+          table triangles emitted by mapping local edge ids -> global edge
+          ids -> vertex ids.
+
+Outputs are padded to (vcap, 3)/(fcap, 3) with validity implied by
+nv/nf counts, so the whole training step can stay jit-compiled; the counts
+also act as overflow watermarks (the caller grows capacities between jits if
+ever exceeded).
+
+Volume convention: volume[ix, iy, iz], world = origin + idx * spacing,
+inside = sdf < iso (vertices carry iso-crossing interpolation like
+d_fGetOffset at MCGpu/CudaKernels.cu:304-313).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mc_tables import TRI_TABLE, N_TRIS, MAX_TRIS, EDGES
+
+
+class MCResult(NamedTuple):
+    verts: jnp.ndarray   # (vcap, 3) world-space, zero-padded
+    faces: jnp.ndarray   # (fcap, 3) int32 vertex ids, zero-padded
+    nv: jnp.ndarray      # () int32 true vertex count (may exceed vcap!)
+    nf: jnp.ndarray      # () int32 true face count (may exceed fcap!)
+
+
+# Static numpy helpers ------------------------------------------------------
+
+# local edge -> (axis, corner-origin offset) from mc_tables.EDGES ordering:
+# edge id = axis*4 + k, origin corner = the k-th corner with bit(axis)==0.
+_EDGE_AXIS = np.repeat(np.arange(3), 4).astype(np.int32)
+_EDGE_ORIGIN = np.zeros((12, 3), np.int32)
+for _axis in range(3):
+    _k = 0
+    for _c in range(8):
+        if not (_c >> _axis) & 1:
+            _EDGE_ORIGIN[_axis * 4 + _k] = [(_c >> 0) & 1, (_c >> 1) & 1, (_c >> 2) & 1]
+            _k += 1
+
+_CORNER_OFF = np.array([[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1]
+                        for c in range(8)], np.int32)
+
+
+def marching_cubes(volume: jnp.ndarray, origin, spacing, iso: float,
+                   vcap: int, fcap: int, active_cap: int) -> MCResult:
+    """Extract the iso-surface mesh from a dense SDF grid.
+
+    volume (X, Y, Z) float; origin (3,), spacing (3,) world transforms.
+    vcap/fcap/active_cap: static capacities (vertices / faces / surface
+    cubes).  Returns padded MCResult.
+    """
+    X, Y, Z = volume.shape
+    origin = jnp.asarray(origin, volume.dtype)
+    spacing = jnp.asarray(spacing, volume.dtype)
+    inside = volume < iso  # (X,Y,Z) bool
+
+    # ---- pass 1: unique vertices on crossing grid edges -------------------
+    # edge grids per axis; edge (axis, i, j, k) connects vertex (i,j,k) and
+    # its +axis neighbor. Flatten in axis-major order for global edge ids.
+    def axis_crossing(axis):
+        if axis == 0:
+            a, b = inside[:-1, :, :], inside[1:, :, :]
+        elif axis == 1:
+            a, b = inside[:, :-1, :], inside[:, 1:, :]
+        else:
+            a, b = inside[:, :, :-1], inside[:, :, 1:]
+        return a != b
+
+    cross = [axis_crossing(a) for a in range(3)]
+    sizes = [c.size for c in cross]
+    flat_cross = jnp.concatenate([c.reshape(-1) for c in cross])
+    vid = jnp.cumsum(flat_cross.astype(jnp.int32)) - flat_cross.astype(jnp.int32)
+    nv = flat_cross.sum().astype(jnp.int32)
+
+    # vertex positions: for each axis block, interpolate along that axis
+    vgrid = jnp.stack(jnp.meshgrid(jnp.arange(X), jnp.arange(Y), jnp.arange(Z),
+                                   indexing="ij"), axis=-1)  # (X,Y,Z,3)
+
+    verts_out = jnp.zeros((vcap, 3), volume.dtype)
+    off = 0
+    for axis, c in enumerate(cross):
+        if axis == 0:
+            v0 = volume[:-1, :, :]; v1 = volume[1:, :, :]
+            base = vgrid[:-1, :, :, :]
+        elif axis == 1:
+            v0 = volume[:, :-1, :]; v1 = volume[:, 1:, :]
+            base = vgrid[:, :-1, :, :]
+        else:
+            v0 = volume[:, :, :-1]; v1 = volume[:, :, 1:]
+            base = vgrid[:, :, :-1, :]
+        denom = v1 - v0
+        t = jnp.where(jnp.abs(denom) > 1e-12, (iso - v0) / denom, 0.5)
+        t = jnp.clip(t, 0.0, 1.0)
+        pos = base.astype(volume.dtype)
+        pos = pos.at[..., axis].add(t)
+        pos = origin + pos * spacing
+        cflat = c.reshape(-1)
+        vids_here = vid[off:off + cflat.shape[0]]
+        idx = jnp.where(cflat, vids_here, vcap)  # drop non-crossing
+        verts_out = verts_out.at[idx].set(pos.reshape(-1, 3), mode="drop")
+        off += cflat.shape[0]
+
+    # ---- pass 2: active cubes -> triangles --------------------------------
+    # case id per cube from the 8 corner inside bits
+    case = jnp.zeros((X - 1, Y - 1, Z - 1), jnp.int32)
+    for c in range(8):
+        ox, oy, oz = _CORNER_OFF[c]
+        bit = inside[ox:X - 1 + ox, oy:Y - 1 + oy, oz:Z - 1 + oz]
+        case = case + (bit.astype(jnp.int32) << c)
+
+    ntris_tbl = jnp.asarray(N_TRIS)
+    tri_tbl = jnp.asarray(TRI_TABLE)  # (256, MAX_TRIS, 3) local edge ids
+    ncubetris = ntris_tbl[case]       # (X-1,Y-1,Z-1)
+    active = ncubetris > 0
+    aflat = active.reshape(-1)
+    # compact active cube indices to active_cap
+    apos = jnp.cumsum(aflat.astype(jnp.int32)) - aflat.astype(jnp.int32)
+    cube_ids = jnp.full((active_cap,), -1, jnp.int32)
+    lin = jnp.arange(aflat.shape[0], dtype=jnp.int32)
+    cube_ids = cube_ids.at[jnp.where(aflat, apos, active_cap)].set(lin, mode="drop")
+    a_valid = cube_ids >= 0
+    cube_ids_safe = jnp.maximum(cube_ids, 0)
+
+    # face offsets: exclusive cumsum of per-cube tri counts in compacted order
+    tri_counts = jnp.where(a_valid, ncubetris.reshape(-1)[cube_ids_safe], 0)
+    tri_off = jnp.cumsum(tri_counts) - tri_counts
+    nf = tri_counts.sum().astype(jnp.int32)
+
+    # decode cube coords
+    cz = cube_ids_safe % (Z - 1)
+    cy = (cube_ids_safe // (Z - 1)) % (Y - 1)
+    cx = cube_ids_safe // ((Z - 1) * (Y - 1))
+    ccase = case.reshape(-1)[cube_ids_safe]
+
+    # local edge id -> global vertex id for each active cube
+    # global edge id for (axis, i, j, k):
+    #   axis 0 block: ((i*(Y) + j)*Z + k)                    size (X-1)*Y*Z
+    #   axis 1 block: sizes[0] + ((i*(Y-1) + j)*Z + k)       size X*(Y-1)*Z
+    #   axis 2 block: sizes[0]+sizes[1] + ((i*Y + j)*(Z-1)+k)
+    e_axis = jnp.asarray(_EDGE_AXIS)          # (12,)
+    e_orig = jnp.asarray(_EDGE_ORIGIN)        # (12,3)
+
+    def global_edge_id(axis, i, j, k):
+        g0 = (i * Y + j) * Z + k
+        g1 = sizes[0] + (i * (Y - 1) + j) * Z + k
+        g2 = sizes[0] + sizes[1] + (i * Y + j) * (Z - 1) + k
+        return jnp.where(axis == 0, g0, jnp.where(axis == 1, g1, g2))
+
+    # (active_cap, 12) vertex id per local edge
+    i = cx[:, None] + e_orig[None, :, 0]
+    j = cy[:, None] + e_orig[None, :, 1]
+    k = cz[:, None] + e_orig[None, :, 2]
+    geid = global_edge_id(e_axis[None, :], i, j, k)
+    edge_vid = vid[geid]  # (active_cap, 12)
+
+    # emit triangles
+    local_tris = tri_tbl[ccase]                      # (active_cap, MAX_TRIS, 3)
+    tri_valid = local_tris[..., 0] >= 0              # (active_cap, MAX_TRIS)
+    tri_valid = tri_valid & a_valid[:, None]
+    safe_local = jnp.maximum(local_tris, 0)
+    tvids = jnp.take_along_axis(
+        jnp.broadcast_to(edge_vid[:, None, :],
+                         (edge_vid.shape[0], MAX_TRIS, 12)),
+        safe_local, axis=-1)
+    # destination face slots
+    slot_in_cube = jnp.arange(MAX_TRIS, dtype=jnp.int32)[None, :]
+    dest = tri_off[:, None] + slot_in_cube
+    dest = jnp.where(tri_valid, dest, fcap)
+    faces_out = jnp.zeros((fcap, 3), jnp.int32)
+    faces_out = faces_out.at[dest.reshape(-1)].set(
+        tvids.reshape(-1, 3), mode="drop")
+
+    return MCResult(verts=verts_out, faces=faces_out, nv=nv, nf=nf)

@@ -1,0 +1,66 @@
+"""Differentiable trilinear volume sampling (grid_sample 3D equivalent).
+
+Parity target: the custom CUDA double-backward grid sampler the reference
+built (MCAcc/cuda/GridSamplerMineKernel.cu, wrapped at
+MCAcc/grid_sampler_mine.py:8-65) whose only reason to exist was that torch's
+grid_sample lacks second derivatives.  In JAX a plain jnp gather-interpolate
+is arbitrarily differentiable, so the whole 1000-line kernel collapses into
+this function.  Semantics match torch.nn.functional.grid_sample(
+mode='bilinear', padding_mode='border', align_corners=False) for 5-D inputs,
+which is what LBSkinner uses (model/Deformer.py:207-211, align_corners
+asserted False at model/Deformer.py:109).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def trilinear_sample(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample a volume at normalized coords.
+
+    volume: (C, D, H, W) — channel-first, index order [z (D), y (H), x (W)].
+    coords: (N, 3) in [-1, 1], ordered (x, y, z) like grid_sample's grid.
+    Returns (N, C).
+
+    align_corners=False convention: pixel centers at (i + 0.5) * 2/size - 1,
+    i.e. unnormalized index = ((coord + 1) * size - 1) / 2.
+    Border padding: indices clamped to [0, size-1].
+    """
+    C, D, H, W = volume.shape
+    x = ((coords[:, 0] + 1.0) * W - 1.0) / 2.0
+    y = ((coords[:, 1] + 1.0) * H - 1.0) / 2.0
+    z = ((coords[:, 2] + 1.0) * D - 1.0) / 2.0
+
+    x0 = jnp.floor(x); y0 = jnp.floor(y); z0 = jnp.floor(z)
+    tx = x - x0; ty = y - y0; tz = z - z0
+
+    def clamp(i, size):
+        return jnp.clip(i.astype(jnp.int32), 0, size - 1)
+
+    x0i, x1i = clamp(x0, W), clamp(x0 + 1, W)
+    y0i, y1i = clamp(y0, H), clamp(y0 + 1, H)
+    z0i, z1i = clamp(z0, D), clamp(z0 + 1, D)
+
+    def gather(zi, yi, xi):
+        # (N, C): gather per-point across channels
+        flat = volume.reshape(C, -1)
+        idx = (zi * H + yi) * W + xi
+        return flat[:, idx].T
+
+    c000 = gather(z0i, y0i, x0i)
+    c001 = gather(z0i, y0i, x1i)
+    c010 = gather(z0i, y1i, x0i)
+    c011 = gather(z0i, y1i, x1i)
+    c100 = gather(z1i, y0i, x0i)
+    c101 = gather(z1i, y0i, x1i)
+    c110 = gather(z1i, y1i, x0i)
+    c111 = gather(z1i, y1i, x1i)
+
+    tx = tx[:, None]; ty = ty[:, None]; tz = tz[:, None]
+    c00 = c000 * (1 - tx) + c001 * tx
+    c01 = c010 * (1 - tx) + c011 * tx
+    c10 = c100 * (1 - tx) + c101 * tx
+    c11 = c110 * (1 - tx) + c111 * tx
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    return c0 * (1 - tz) + c1 * tz

@@ -1,0 +1,33 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+The ambient environment preloads jax via sitecustomize (PYTHONPATH
+/root/.axon_site) and points it at the single tunneled TPU
+(JAX_PLATFORMS=axon).  Setting env vars here is therefore too late for
+the import, but the backend is only chosen at first use, so
+``jax.config.update`` still wins — as long as no test touches a backend
+before this file runs (pytest imports conftest before test modules).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

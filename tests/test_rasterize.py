@@ -1,0 +1,118 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from selfreconcode_tpu.render.camera import make_camera, cam_pos, view_rays, project
+from selfreconcode_tpu.ops.rasterize import rasterize_mesh, splat_mask
+from selfreconcode_tpu.engine.surface import surface_inits_from_fragments
+
+
+def _cam(H=64, W=64):
+    quat = np.array([1.0, 0, 0, 0], np.float32)  # identity rotation
+    return make_camera(
+        focal=np.array([60.0, 60.0], np.float32),
+        principal=np.array([W / 2, H / 2], np.float32),
+        quat=quat, T=np.array([0.0, 0.0, 2.0], np.float32), H=H, W=W)
+
+
+def _square_mesh(z=0.0, s=0.5):
+    # square in the plane z (world), two triangles, CCW seen from camera
+    verts = jnp.asarray(np.array([
+        [-s, -s, z], [s, -s, z], [s, s, z], [-s, s, z]], np.float32))
+    faces = jnp.asarray(np.array([[0, 1, 2], [0, 2, 3]], np.int32))
+    return verts, faces
+
+
+def test_mesh_rasterizer_hits_square():
+    cam = _cam()
+    verts, faces = _square_mesh()
+    frags = rasterize_mesh(cam, verts, faces, jnp.ones(2, bool), footprint=40)
+    p2f = np.asarray(frags.pix_to_face)
+    assert (p2f >= 0).sum() > 100  # square covers a good chunk
+    # center pixel is covered, corners are not
+    assert p2f[32, 32] >= 0
+    assert p2f[2, 2] == -1
+    # depth equals distance from camera to plane
+    c = np.asarray(cam_pos(cam))
+    z = np.asarray(frags.zbuf)
+    zc = z[p2f >= 0]
+    np.testing.assert_allclose(zc, np.abs(c[2] - 0.0), atol=1e-3)
+    # barycentrics sum to one on hits
+    b = np.asarray(frags.bary)[p2f >= 0]
+    np.testing.assert_allclose(b.sum(-1), 1.0, atol=1e-4)
+    assert (b >= -1e-6).all()  # edge pixels may have a zero barycentric
+
+
+def test_mesh_rasterizer_depth_order():
+    cam = _cam()
+    v1, f1 = _square_mesh(z=0.0)
+    v2, f2 = _square_mesh(z=1.0)  # farther from camera (camera at z=-2... )
+    c = np.asarray(cam_pos(cam))
+    # camera sits at z=-2 (T=[0,0,2], R=I => c=-T); z=0 plane is nearer than z=1
+    assert c[2] < 0
+    verts = jnp.concatenate([v1, v2])
+    faces = jnp.concatenate([f1, f2 + 4])
+    frags = rasterize_mesh(cam, verts, faces, jnp.ones(4, bool), footprint=40)
+    p2f = np.asarray(frags.pix_to_face)
+    covered = p2f >= 0
+    # the near square (faces 0,1) wins everywhere both project
+    assert set(np.unique(p2f[covered])) <= {0, 1}
+
+
+def test_fragments_to_surface_inits():
+    cam = _cam()
+    verts, faces = _square_mesh()
+    frags = rasterize_mesh(cam, verts, faces, jnp.ones(2, bool), footprint=40)
+    tmpl = verts * 2.0  # pretend template differs from deformed
+    pts, valid = surface_inits_from_fragments(tmpl, faces, frags.pix_to_face, frags.bary)
+    v = np.asarray(valid)
+    p = np.asarray(pts)[v]
+    # interpolated template points live on the scaled square's plane
+    np.testing.assert_allclose(p[:, 2], 0.0, atol=1e-4)
+    assert np.abs(p[:, :2]).max() <= 1.0 + 1e-4
+
+
+def test_splat_mask_basic_and_grad():
+    cam = _cam()
+    pts = jnp.asarray(np.array([[0.0, 0.0, 0.0]], np.float32))
+    mask = splat_mask(cam, pts, jnp.ones(1, bool), radius_ndc=0.2, footprint=11)
+    m = np.asarray(mask)
+    assert m.shape == (64, 64)
+    assert m[32, 32] > 0.5          # center covered
+    assert m[0, 0] == 0.0           # far away zero
+    assert m.max() <= 1.0 and m.min() >= 0.0
+
+    # gradient wrt point position is finite and nonzero
+    def f(p):
+        return splat_mask(cam, p, jnp.ones(1, bool), 0.2, 11).sum()
+
+    g = jax.grad(f)(pts)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # moving the point toward +x (world) shifts mask: check gradient of the
+    # weighted column index is consistent with the projection direction
+    def col_mean(p):
+        m = splat_mask(cam, p, jnp.ones(1, bool), 0.2, 11)
+        cols = jnp.arange(64, dtype=jnp.float32)[None, :]
+        return (m * cols).sum() / jnp.clip(m.sum(), 1e-6, None)
+
+    gc = jax.grad(col_mean)(pts)
+    # world +x maps to -col (the SfM negation): gradient must be negative
+    assert float(gc[0, 0]) < 0
+
+
+def test_splat_mask_matches_mesh_coverage_roughly():
+    cam = _cam()
+    verts, faces = _square_mesh()
+    frags = rasterize_mesh(cam, verts, faces, jnp.ones(2, bool), footprint=40)
+    hard = (np.asarray(frags.pix_to_face) >= 0).astype(np.float32)
+    # dense point sampling of the square -> soft mask covers the same region
+    g = np.linspace(-0.5, 0.5, 30, dtype=np.float32)
+    X, Y = np.meshgrid(g, g)
+    pts = jnp.asarray(np.stack([X.ravel(), Y.ravel(), np.zeros(900, np.float32)], -1))
+    # radius 0.05 NDC ~ 1.6 px: the soft mask dilates the square by roughly
+    # one pixel per side (splats straddle the boundary), so IoU ~ 0.8.
+    soft = np.asarray(splat_mask(cam, pts, jnp.ones(900, bool), 0.05, 9))
+    inter = ((soft > 0.5) & (hard > 0.5)).sum()
+    union = ((soft > 0.5) | (hard > 0.5)).sum()
+    assert inter / union > 0.75
