@@ -1,0 +1,79 @@
+"""IGR/SAL-style SDF pretraining to the SMPL A-pose template cloud.
+
+Parity target: OptimNetwork.initializeTmpSDF (model/network.py:207-290) —
+fit the canonical SDF to the A-pose body surface before the main
+optimization: |sdf(surface)| + 1.0*||grad_sdf - n||_2 + 0.1*eikonal, Adam
+lr 5e-3, StepLR(500 epochs, x0.5), batch 5000, ratio=-1 (PE off).
+
+TPU-first: the whole pretraining is ONE jit-compiled lax.scan over
+iterations — no per-step host round-trips; per-epoch shuffling becomes
+per-step random batch choice (equivalent sampling distribution).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.sdf import SDFNet, sdf_value_only
+from ..utils.sampling import sample_points
+
+
+def igr_pretrain(key, sdf_params, net: SDFNet, surface_pts, surface_normals,
+                 n_iters: int = 1200, batch_size: int = 5000,
+                 lr: float = 5e-3, lr_step: int = 500, lr_gamma: float = 0.5,
+                 with_normals: bool = True, global_sigma: float = 1.8,
+                 local_sigma: float = 0.01):
+    """Returns (params, info dict of final losses).
+
+    surface_pts/surface_normals: (V, 3).  The reference iterates epochs of
+    shuffled splits; n_iters here counts optimizer steps (the reference's
+    `initial_iters`=1200 with V~6890 and batch 5000 is ~2 steps/epoch * 600
+    epochs — we run the same total step count).
+    """
+    schedule = optax.exponential_decay(
+        lr, transition_steps=lr_step, decay_rate=lr_gamma, staircase=True)
+    opt = optax.adam(schedule)
+    opt_state = opt.init(sdf_params)
+    v = surface_pts.shape[0]
+
+    def loss_fn(params, mnfld, normals, nonmnfld):
+        mnfld_pred = sdf_value_only(params, net, mnfld, 0.0)
+        grad_m = jax.grad(
+            lambda p: sdf_value_only(params, net, p, 0.0).sum())(mnfld)
+        grad_n = jax.grad(
+            lambda p: sdf_value_only(params, net, p, 0.0).sum())(nonmnfld)
+        mnfld_loss = jnp.abs(mnfld_pred).mean()
+        eik = ((jnp.linalg.norm(grad_n, axis=-1) - 1.0) ** 2).mean()
+        loss = mnfld_loss + 0.1 * eik
+        if with_normals:
+            nl = jnp.linalg.norm(grad_m - normals, axis=-1).mean()
+            loss = loss + 1.0 * nl
+        else:
+            nl = jnp.zeros(())
+        return loss, (mnfld_loss, eik, nl)
+
+    def step(carry, k):
+        params, opt_state = carry
+        k1, k2 = jax.random.split(k)
+        idx = jax.random.randint(k1, (min(batch_size, v),), 0, v)
+        mnfld = surface_pts[idx]
+        normals = surface_normals[idx]
+        nonmnfld = sample_points(k2, mnfld, global_sigma, local_sigma)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mnfld, normals, nonmnfld)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), (loss, *aux)
+
+    keys = jax.random.split(key, n_iters)
+    (params, _), traces = jax.lax.scan(step, (sdf_params, opt_state), keys)
+    info = {
+        "loss": float(traces[0][-1]),
+        "mnfld_loss": float(traces[1][-1]),
+        "grad_loss": float(traces[2][-1]),
+        "normals_loss": float(traces[3][-1]),
+    }
+    return params, info
