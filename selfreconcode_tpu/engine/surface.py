@@ -45,6 +45,15 @@ class SurfaceConfig(NamedTuple):
     athreshold_deg: float = 0.02   # from Camera.ang_threshold
     w1: float = 3.05
     w2: float = 1.0
+    # newton=True solves F(p)=[sdf; v x (D(p)-c)]=0 by Gauss-Newton least
+    # squares (p -= (B^T B)^{-1} B^T F).  The reference's scalarized Cauchy
+    # step (t = -L/|g|^2 on w1|sdf|+w2 sin) is kept for parity (newton=False)
+    # but is transversally ill-conditioned: the sin-term gradient is ~10x
+    # weaker than the sdf term, so the ray constraint 2-cycles and never
+    # tightens past ~1e-4 (measured).  Newton converges quadratically in <=5
+    # steps and makes the IFT backward (which shares B) exact.
+    newton: bool = True
+    step_clip: float = 0.1         # max per-iteration displacement (Newton)
 
 
 def _point_losses(sdf_params, trans_params, net, deformer, pts, batch_inds,
@@ -69,6 +78,10 @@ def optimize_surface_points(sdf_params, trans_params, net: SDFNet,
                             dcond, poses, trans, rays, cam_c,
                             ratio_sdf, ratio_def, cfg: SurfaceConfig):
     """Refine init_pts (N,3); returns (pts, converged mask (N,))."""
+    if cfg.newton:
+        return _optimize_newton(sdf_params, trans_params, net, deformer,
+                                init_pts, batch_inds, dcond, poses, trans,
+                                rays, cam_c, ratio_sdf, ratio_def, cfg)
 
     def loss_sum(p):
         loss, _, _ = _point_losses(
@@ -96,6 +109,58 @@ def optimize_surface_points(sdf_params, trans_params, net: SDFNet,
         return new_pts, done
 
     pts, done = jax.lax.fori_loop(0, cfg.n_iters, body, (init_pts, done0))
+    return pts, done
+
+
+def _constraint_and_B(sdf_params, trans_params, net, deformer, pts,
+                      batch_inds, dcond, poses, trans, rays, cam_c,
+                      ratio_sdf, ratio_def):
+    """F (N,4) = [sdf; v x (D(p)-c)] and B = dF/dp (N,4,3)."""
+    sdf = sdf_value_only(sdf_params, net, pts, ratio_sdf)
+    grad_f_p = jax.grad(
+        lambda p: sdf_value_only(sdf_params, net, p, ratio_sdf).sum())(pts)
+    jac, d = deformer_jacobian(trans_params, deformer, pts, batch_inds,
+                               dcond, poses, trans, ratio_def)
+    v_cross = cross_matrix(rays)
+    Fc = jnp.einsum("nij,nj->ni", v_cross, d - cam_c[None, :])
+    F = jnp.concatenate([sdf[:, None], Fc], axis=1)
+    B = jnp.concatenate([grad_f_p[:, None, :],
+                         jnp.einsum("nij,njk->nik", v_cross, jac)], axis=1)
+    direct = d - cam_c[None, :]
+    sin_ang = jnp.linalg.norm(Fc, axis=-1) / jnp.clip(
+        jnp.linalg.norm(direct, axis=-1), 1e-12, None) / jnp.clip(
+        jnp.linalg.norm(rays, axis=-1), 1e-12, None)
+    return F, B, sdf, sin_ang
+
+
+def _optimize_newton(sdf_params, trans_params, net, deformer, init_pts,
+                     batch_inds, dcond, poses, trans, rays, cam_c,
+                     ratio_sdf, ratio_def, cfg: SurfaceConfig):
+    def body(_, state):
+        pts, done = state
+        F, B, sdf, sin_ang = _constraint_and_B(
+            sdf_params, trans_params, net, deformer, pts, batch_inds, dcond,
+            poses, trans, rays, cam_c, ratio_sdf, ratio_def)
+        newly = _converged(sdf, sin_ang, cfg.dthreshold, cfg.athreshold_deg)
+        done = done | newly
+        btb = jnp.einsum("nki,nkj->nij", B, B)
+        # Levenberg damping keeps near-singular points stable
+        btb = btb + 1e-9 * jnp.eye(3)
+        inv, ok = inv3x3(btb, det_eps=1e-12)
+        dp = -jnp.einsum("nij,nkj,nk->ni", inv, B, F)
+        nrm = jnp.linalg.norm(dp, axis=-1, keepdims=True)
+        dp = dp * jnp.minimum(1.0, cfg.step_clip / jnp.clip(nrm, 1e-20, None))
+        dp = jnp.where((done | ~ok)[:, None], 0.0, dp)
+        return pts + dp, done
+
+    pts, done = jax.lax.fori_loop(
+        0, cfg.n_iters, body,
+        (init_pts, jnp.zeros(init_pts.shape[:1], bool)))
+    # final convergence re-check
+    _, _, sdf, sin_ang = _constraint_and_B(
+        sdf_params, trans_params, net, deformer, pts, batch_inds, dcond,
+        poses, trans, rays, cam_c, ratio_sdf, ratio_def)
+    done = done | _converged(sdf, sin_ang, cfg.dthreshold, cfg.athreshold_deg)
     return pts, done
 
 
@@ -170,11 +235,11 @@ def make_surface_points_fn(net: SDFNet, deformer: Deformer, cfg: SurfaceConfig):
                                     ratio_def)
             return out
 
-        _, vjp_d = jax.vjp(d_fn, trans_params, dcond, poses, trans)
+        d_val, vjp_d = jax.vjp(d_fn, trans_params, dcond, poses, trans)
         g_trans_params, g_dcond, g_poses, g_trans = vjp_d(cot_d)
 
         # rays: dL/dv = [D-c]_x^T rhs_cross  (network.py:798-809)
-        dc_cross = cross_matrix(d - cam_c[None, :])
+        dc_cross = cross_matrix(d_val - cam_c[None, :])
         g_rays = jnp.einsum("nij,ni->nj", dc_cross, rhs_cross)
 
         # camera position: dL/dc = -sum_n cot_d  (network.py:811-813)

@@ -1,0 +1,877 @@
+"""Per-subject avatar optimization: the OptimNetwork-equivalent trainer.
+
+Parity target: model/network.py:149-814 (OptimNetwork) + train.py's epoch
+loop, re-architected TPU-first:
+
+  * ONE jit-compiled training step covers everything between remeshes —
+    deform, rasterize, splat-mask + inner template-vertex SGD, ray surface
+    root-finding with implicit differentiation (custom_vjp, replacing the
+    hand-rolled propagateTmpPsGrad at model/network.py:702-814), eikonal,
+    deformation regularizers, DCT prior, color + normal losses, and the Adam
+    update.  No host syncs inside.
+  * Remeshing (discretizeSDF: octree sweep + marching cubes,
+    model/network.py:292-302,463-478) is the only host boundary: fixed-
+    capacity padded buffers keep shapes static; host rebuilds the edge
+    topology (replacing openmesh, model/network.py:472-477).
+  * The reference's CPU SVD round-trip (network.py:575-576) becomes
+    eigvalsh(JᵀJ) on device; the triple-autograd Jacobians become jacfwd.
+  * The inner SGD on template verts (network.py:686-688) is carried as
+    (verts, momentum) in the train state; its backward's side-gradients into
+    deformer/pose/camera parameters are reproduced exactly by adding
+    grad(inner_loss) w.r.t. the shared leaves into the outer gradient.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.sdf import SDFNet, init_sdf_params, sdf_apply, sdf_value_only
+from ..models.translator import (TranslatorNet, init_translator_params,
+                                 translator_apply)
+from ..models.render import RenderNet, init_render_params, render_apply
+from ..models.skinner import Skinner, skinner_apply, posed_skeleton
+from ..models.deformer import Deformer, deformer_apply, deformer_jacobian
+from ..render.camera import (Camera, cam_pos, view_rays, ang_threshold)
+from ..ops.rasterize import rasterize_mesh, splat_mask
+from ..ops.sparse_sdf import sparse_sdf_grid, grid_world_coords, default_caps
+from ..ops.marching_cubes import marching_cubes
+from ..engine.surface import (SurfaceConfig, make_surface_points_fn,
+                              surface_inits_from_fragments)
+from ..engine import losses as L
+from ..utils.math import (quat2mat, inv3x3, gm_robust,
+                          log_singular_values_sq_sum, dct_null_space,
+                          normalize)
+from ..utils.sampling import sample_points, subsample_mask_topk
+from ..utils.meshops import build_edge_topology
+from ..utils import meshops
+
+
+# ---------------------------------------------------------------------------
+# Static stage configuration
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LossWeights:
+    """One loss_{stage} block of config.conf (reference lines 68-134)."""
+    color_weight: float = 0.5
+    normal_weight: float = 0.1
+    weighted_normal: bool = True
+    grad_weight: float = 1.0
+    offset_weight: float = 0.0
+    def_regu_weight: float = 0.1
+    def_regu_c: float = 0.5
+    dct_weight: float = 2.0
+    pc_weight: float = 60.0
+    pc_mask_weight: float = 1.0
+    laplacian_weight: float = -10.0
+    edge_weight: float = -10.0
+    norm_weight: float = -0.001
+    def_consistent_weight: float = 0.6
+    def_consistent_c: float = 0.01
+    sample_pix_num: int = 0  # 0 -> use train.sample_pix_num
+
+
+@dataclass(frozen=True)
+class StageStatic:
+    """Everything that specializes the jitted step (shapes + weights)."""
+    name: str
+    N: int                      # frame batch size
+    H: int
+    W: int
+    sample_pix: int             # rays per step (total across batch)
+    radius: float               # point-splat radius (NDC)
+    remesh_intersect: int
+    vcap: int
+    fcap: int
+    ecap: int
+    mc_active_cap: int
+    resolutions: Tuple[Tuple[int, int, int], ...]
+    sweep_caps: Tuple[int, ...]
+    raster_footprint: int
+    weights: LossWeights
+    eik_tmp: int = 4096         # template-vert eikonal subsample
+    window: int = 30            # DCT temporal window
+    dct_k: int = 10
+    opt_pose: bool = True
+    opt_trans: bool = True
+    opt_cam_focal: bool = True
+    opt_cam_principal: bool = True
+    opt_cam_quat: bool = False
+    opt_cam_T: bool = True
+    has_normals: bool = False
+    surf_iters: int = 10
+
+
+class TemplateState(NamedTuple):
+    verts: jnp.ndarray        # (vcap, 3)
+    vert_valid: jnp.ndarray   # (vcap,)
+    faces: jnp.ndarray        # (fcap, 3)
+    face_valid: jnp.ndarray   # (fcap,)
+    edges: jnp.ndarray        # (ecap, 2)
+    edge_valid: jnp.ndarray
+    edge_faces: jnp.ndarray   # (ecap, 2)
+    ef_valid: jnp.ndarray
+    momentum: jnp.ndarray     # (vcap, 3) inner-SGD momentum
+
+
+class TrainState(NamedTuple):
+    params: Any               # {"sdf","trans","render"}
+    bank: Any                 # per-frame parameter bank + camera
+    opt_state: Any
+    tmp: TemplateState
+
+
+# ---------------------------------------------------------------------------
+# Camera plumbing
+# ---------------------------------------------------------------------------
+
+def camera_from_bank(bank, H: int, W: int, cfg: StageStatic) -> Camera:
+    """Build the (shared) camera, stop-gradient-ing frozen parameters.
+
+    Mirrors dataset.get_camera_parameters + opt flags
+    (dataset/dataset.py:64-74,125-127)."""
+    cam = bank["camera"]
+    sg = jax.lax.stop_gradient
+    focal = cam["focal_length"] if cfg.opt_cam_focal else sg(cam["focal_length"])
+    princ = (cam["princeple_points"] if cfg.opt_cam_principal
+             else sg(cam["princeple_points"]))
+    quat = (cam["cam2world_coord_quat"] if cfg.opt_cam_quat
+            else sg(cam["cam2world_coord_quat"]))
+    T = (cam["world2cam_coord_trans"] if cfg.opt_cam_T
+         else sg(cam["world2cam_coord_trans"]))
+    R = quat2mat(quat.reshape(1, 4))[0]
+    return Camera(focal=focal.reshape(2), principal=princ.reshape(2),
+                  R=R, T=T.reshape(3), H=H, W=W)
+
+
+def grad_mask_tree(state: TrainState, cfg: StageStatic):
+    """0/1 mask pytree marking trainable leaves of (params, bank)."""
+    ones = lambda t: jax.tree_util.tree_map(lambda x: jnp.ones_like(x), t)
+    zeros = lambda t: jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), t)
+    params_mask = ones(state.params)
+    bank = state.bank
+    bank_mask = {}
+    for k, v in bank.items():
+        if k == "poses":
+            bank_mask[k] = (jnp.ones_like(v) if cfg.opt_pose else jnp.zeros_like(v))
+        elif k == "trans":
+            bank_mask[k] = (jnp.ones_like(v) if cfg.opt_trans else jnp.zeros_like(v))
+        elif k == "camera":
+            bank_mask[k] = {
+                "focal_length": jnp.full_like(v["focal_length"],
+                                              1.0 if cfg.opt_cam_focal else 0.0),
+                "princeple_points": jnp.full_like(
+                    v["princeple_points"],
+                    1.0 if cfg.opt_cam_principal else 0.0),
+                "cam2world_coord_quat": jnp.full_like(
+                    v["cam2world_coord_quat"],
+                    1.0 if cfg.opt_cam_quat else 0.0),
+                "world2cam_coord_trans": jnp.full_like(
+                    v["world2cam_coord_trans"],
+                    1.0 if cfg.opt_cam_T else 0.0),
+            }
+        else:  # conds always trainable (dataset/dataset.py:18-24)
+            bank_mask[k] = jnp.ones_like(v)
+    return params_mask, bank_mask
+
+
+# ---------------------------------------------------------------------------
+# The jit-compiled training step factory
+# ---------------------------------------------------------------------------
+
+def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
+                    render_net: RenderNet, deformer: Deformer,
+                    cfg: StageStatic, dctnull: np.ndarray,
+                    ang_thresh_deg: float, optimizer):
+    """Returns jitted step(state, batch, step_in) -> (state, info)."""
+    surf_cfg = SurfaceConfig(n_iters=cfg.surf_iters, dthreshold=5e-5,
+                             athreshold_deg=ang_thresh_deg, w1=3.05, w2=1.0)
+    surface_points = make_surface_points_fn(sdf_net, deformer, surf_cfg)
+    w = cfg.weights
+    N, H, W = cfg.N, cfg.H, cfg.W
+    P = cfg.sample_pix * N if w.sample_pix_num == 0 else w.sample_pix_num * N
+    dctnull_j = jnp.asarray(dctnull)
+    radius_px = int(np.round(cfg.radius / 2.0 * float(min(H, W)) / 1.2))
+    vcap = cfg.vcap
+
+    def frame_params(bank, fids):
+        poses = bank["poses"][fids]
+        trans = bank["trans"][fids]
+        if not cfg.opt_pose:
+            poses = jax.lax.stop_gradient(poses)
+        if not cfg.opt_trans:
+            trans = jax.lax.stop_gradient(trans)
+        dcond = bank["cond_deformer"][fids]
+        rcond = bank["cond_renderer"][fids]
+        return poses, trans, dcond, rcond
+
+    # -- inner (pc) loss: mask IoU + mesh regus + def-consistency ----------
+    def inner_loss(tmp_verts, params, bank, tmp: TemplateState, fids,
+                   mgtMs, ratios):
+        _, r_def, _ = ratios
+        cam = camera_from_bank(bank, H, W, cfg)
+        poses, trans, dcond, _ = frame_params(bank, fids)
+        flat = jnp.tile(tmp_verts, (N, 1))
+        binds = jnp.repeat(jnp.arange(N), vcap)
+        def_flat, _ = deformer_apply(params["trans"], deformer, flat, binds,
+                                     dcond, poses, trans, r_def)
+        def_verts = def_flat.reshape(N, vcap, 3)
+        masks = jnp.stack([
+            splat_mask(cam, def_verts[i], tmp.vert_valid, cfg.radius)
+            for i in range(N)])
+        mask_loss = L.iou_mask_loss(masks, mgtMs)
+        loss = mask_loss * w.pc_mask_weight
+        info = {"pc_mask_loss": mask_loss}
+        if w.laplacian_weight > 0.0:
+            lap = meshops.uniform_laplacian_loss(
+                tmp_verts, tmp.edges, tmp.edge_valid, tmp.vert_valid)
+            loss = loss + w.laplacian_weight * lap
+            info["pc_lap_loss"] = lap
+        if w.edge_weight > 0.0:
+            el = meshops.edge_length_loss(tmp_verts, tmp.edges, tmp.edge_valid)
+            loss = loss + w.edge_weight * el
+            info["pc_edge_loss"] = el
+        if w.norm_weight > 0.0:
+            nc = meshops.normal_consistency_loss(
+                tmp_verts, tmp.faces, tmp.edge_faces, tmp.ef_valid)
+            loss = loss + w.norm_weight * nc
+            info["pc_norm_loss"] = nc
+        if w.def_consistent_weight > 0.0:
+            lbs_flat = skinner_apply(deformer.skinner, flat, binds, poses, trans)
+            dc = L.def_consistency_loss(
+                def_verts, lbs_flat.reshape(N, vcap, 3), tmp.vert_valid,
+                w.def_consistent_c)
+            loss = loss + w.def_consistent_weight * dc
+            info["pc_defconst_loss"] = dc
+        return loss, (masks, info)
+
+    # -- outer loss ---------------------------------------------------------
+    def outer_loss(params, bank, new_verts_sg, vert_valid, fids, init_pts,
+                   init_valid, ray_rows, ray_cols, ray_binds, gtCs, gtNs,
+                   windows, ratios, key):
+        r_sdf, r_def, r_ren = ratios
+        cam = camera_from_bank(bank, H, W, cfg)
+        poses, trans, dcond, rcond = frame_params(bank, fids)
+        info = {}
+
+        # rays from the (possibly learnable) camera — gradients flow to
+        # focal/principal/T through view_rays + cam_pos (network.py:536,715-719)
+        pix = jnp.stack([ray_cols.astype(jnp.float32),
+                         ray_rows.astype(jnp.float32),
+                         jnp.ones((P,), jnp.float32)], axis=-1)
+        rays = view_rays(cam, pix)
+        c = cam_pos(cam)
+
+        # implicit-diff surface points (OptimizeSurfacePs + propagateTmpPsGrad)
+        pts, done = surface_points(
+            jnp.stack([jnp.asarray(r_sdf, jnp.float32),
+                       jnp.asarray(r_def, jnp.float32)]),
+            params["sdf"], params["trans"], dcond, poses, trans, rays, c,
+            init_pts, ray_binds)
+        done = done & init_valid
+        info["ray_converged"] = done.sum()
+
+        # eikonal on local+global samples around (surface pts + template verts)
+        k1, k2, k3 = jax.random.split(key, 3)
+        tidx, tsel = subsample_mask_topk(k1, vert_valid, cfg.eik_tmp)
+        tmp_sub = new_verts_sg[tidx]
+        seeds = jnp.concatenate([jax.lax.stop_gradient(pts), tmp_sub], axis=0)
+        nonmnfld = sample_points(k2, seeds, 1.8, 0.01)
+        g_eik = jax.grad(lambda p: sdf_value_only(
+            params["sdf"], sdf_net, p, r_sdf).sum())(nonmnfld)
+        grad_loss = ((jnp.linalg.norm(g_eik, axis=-1) - 1.0) ** 2).mean()
+        info["grad_loss"] = grad_loss
+        total = grad_loss * w.grad_weight
+
+        # offset norm (reference computes it for info even at weight 0,
+        # network.py:552-561; we skip the weight-0 eval to save compute)
+        if w.offset_weight > 0.0:
+            flatn = jnp.tile(nonmnfld, (N, 1))
+            bindsn = jnp.repeat(jnp.arange(N), nonmnfld.shape[0])
+            _, off = translator_apply(params["trans"], trans_net, flatn,
+                                      dcond[bindsn], r_def)
+            off_l = jnp.linalg.norm(off, axis=-1).mean()
+            info["offset_loss"] = off_l
+            total = total + off_l * w.offset_weight
+
+        # def_regu: GM(log-singular-values of translator Jacobian)
+        # (network.py:565-582; CPU SVD -> eigvalsh(JtJ) on device)
+        if w.def_regu_weight > 0.0:
+            base = jnp.concatenate(
+                [jax.lax.stop_gradient(pts), tmp_sub], axis=0)
+            jit_pts = sample_points(k3, base, 1.8, 0.01, ratio=0)
+            dr_pts = jnp.concatenate([base, jit_pts], axis=0)
+            M = dr_pts.shape[0]
+            flatd = jnp.tile(dr_pts, (N, 1))
+            bindsd = jnp.repeat(jnp.arange(N), M)
+            conds = dcond[bindsd]
+
+            def tfun(q):
+                out, _ = translator_apply(params["trans"], trans_net, q,
+                                          conds, r_def)
+                return out
+
+            cols = []
+            for i in range(3):
+                e = jnp.zeros_like(flatd).at[:, i].set(1.0)
+                _, col = jax.jvp(tfun, (flatd,), (e,))
+                cols.append(col)
+            jac = jnp.stack(cols, axis=-1)
+            s2 = log_singular_values_sq_sum(jac)
+            def_loss = gm_robust(s2, w.def_regu_c, square=True).mean()
+            info["def_loss"] = def_loss
+            total = total + def_loss * w.def_regu_weight
+
+        # DCT temporal prior on posed joints (network.py:585-593)
+        if (cfg.opt_pose or cfg.opt_trans) and w.dct_weight > 0.0:
+            wposes = bank["poses"][windows]      # (N, Nw, 24, 3)
+            wtrans = bank["trans"][windows]      # (N, Nw, 3)
+            if not cfg.opt_pose:
+                wposes = jax.lax.stop_gradient(wposes)
+            if not cfg.opt_trans:
+                wtrans = jax.lax.stop_gradient(wtrans)
+            Nw = cfg.window
+            pj = posed_skeleton(deformer.skinner,
+                                wposes.reshape(N * Nw, 24, 3),
+                                wtrans.reshape(N * Nw, 3))
+            dct_loss = L.dct_prior_loss(dctnull_j,
+                                        pj.reshape(N, Nw, 24, 3))
+            info["dct_loss"] = dct_loss
+            total = total + dct_loss * w.dct_weight
+
+        # surface color / normal losses at converged rays (network.py:598-639)
+        sdf_v, feat = sdf_apply(params["sdf"], sdf_net, pts, r_sdf)
+        nx = jax.grad(lambda p: sdf_value_only(
+            params["sdf"], sdf_net, p, r_sdf).sum())(pts)
+        nx = normalize(nx)
+        jac_d, dpts = deformer_jacobian(params["trans"], deformer, pts,
+                                        ray_binds, dcond, poses, trans, r_def)
+        jinv, inv_ok = inv3x3(jac_d)
+        info["inv_ok"] = inv_ok.sum()
+        crays = jnp.einsum("nij,nj->ni", jinv, rays)
+        crays = jnp.where(inv_ok[:, None], crays, rays)
+        crays = normalize(crays)
+
+        if w.color_weight > 0.0:
+            colors = render_apply(params["render"], render_net, pts, nx,
+                                  crays, feat, r_ren)
+            gt = gtCs[ray_binds, ray_rows, ray_cols]
+            color_loss = L.color_l1_loss(colors, gt, ray_binds, done, N)
+            info["color_loss"] = color_loss
+            total = total + w.color_weight * color_loss
+
+        if cfg.has_normals and w.normal_weight > 0.0:
+            # deformed normal (world) for the view weight, detached
+            ndef = jnp.einsum("nji,nj->ni", jinv, nx)   # J^-T n
+            ndef = jnp.where(inv_ok[:, None],
+                             ndef, jnp.einsum("nij,nj->ni", jac_d, nx))
+            ndef = normalize(jax.lax.stop_gradient(ndef))
+            if w.weighted_normal:
+                wgt = jnp.clip((-rays * ndef).sum(-1), 0.0, 1.0) ** 2
+                wgt = jax.lax.stop_gradient(wgt)
+            else:
+                wgt = jnp.ones((P,))
+            cam_f = camera_from_bank(bank, H, W, cfg)
+            gtn = gtNs[ray_binds, ray_rows, ray_cols]   # (P,3) in [-1,1]
+            flip = jnp.asarray([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]])
+            gtn_w = jnp.einsum("ij,nj->ni", cam_f.R @ flip, gtn)
+            norms = jnp.linalg.norm(gtn_w, axis=-1, keepdims=True)
+            nvalid = (norms[..., 0] > 1e-4) & done
+            gtn_w = gtn_w / jnp.clip(norms, 1e-4, None)
+            gtn_c = jnp.einsum("nji,nj->ni", jac_d, gtn_w)  # J^T n_gt
+            normal_loss = L.normal_loss(gtn_c, nx, wgt, ray_binds, nvalid, N)
+            info["normal_loss"] = normal_loss
+            total = total + w.normal_weight * normal_loss
+
+        return total, info
+
+    def step(state: TrainState, gtCs, gtMs, gtNs, fids, windows,
+             ratios, lr, key):
+        params, bank, opt_state, tmp = state
+        r_sdf, r_def, r_ren = ratios
+        cam_sg = jax.tree_util.tree_map(
+            jax.lax.stop_gradient, camera_from_bank(bank, H, W, cfg))
+        poses_sg, trans_sg, dcond_sg, _ = jax.tree_util.tree_map(
+            jax.lax.stop_gradient, frame_params(bank, fids))
+
+        # [1] deform OLD template verts; rasterize (no grad) for surface inits
+        flat = jnp.tile(tmp.verts, (N, 1))
+        binds = jnp.repeat(jnp.arange(N), vcap)
+        def_flat, _ = deformer_apply(params["trans"], deformer,
+                                     jax.lax.stop_gradient(flat), binds,
+                                     dcond_sg, poses_sg, trans_sg, r_def)
+        def_flat = jax.lax.stop_gradient(def_flat)
+        def_verts = def_flat.reshape(N, vcap, 3)
+        frags = [rasterize_mesh(cam_sg, def_verts[i], tmp.faces,
+                                tmp.face_valid, cfg.raster_footprint)
+                 for i in range(N)]
+        p2f = jnp.stack([f.pix_to_face for f in frags])   # (N,H,W)
+        bary = jnp.stack([f.bary for f in frags])
+
+        init_all, valid_all = surface_inits_from_fragments(
+            jax.lax.stop_gradient(tmp.verts), tmp.faces, p2f, bary)
+
+        # [2] gt mask dilation to match the splat radius (network.py:499-501)
+        mgtMs = L.max_pool_mask(gtMs, radius_px) if radius_px > 0 else gtMs
+
+        # [3] inner pc loss: grads w.r.t. template verts AND shared params
+        def inner_wrap(tv, pr, bk):
+            loss, aux = inner_loss(tv, pr, bk, tmp, fids, mgtMs, ratios)
+            return loss, aux
+
+        (pc_loss_val, (masks, pc_info)), inner_grads = jax.value_and_grad(
+            inner_wrap, argnums=(0, 1, 2), has_aux=True)(
+                tmp.verts, params, bank)
+        g_verts, g_params_in, g_bank_in = inner_grads
+        g_verts = g_verts * tmp.vert_valid[:, None]
+        # torch SGD(momentum=0.9, lr=0.05): buf = 0.9*buf + g; v -= lr*buf
+        new_mom = 0.9 * tmp.momentum + g_verts
+        new_verts = tmp.verts - 0.05 * new_mom
+        new_verts = jnp.where(tmp.vert_valid[:, None], new_verts, tmp.verts)
+        tmp = tmp._replace(verts=new_verts, momentum=new_mom)
+
+        # [4] ray selection: rasterized AND inside gt mask, subsampled to P
+        sel_valid_px = valid_all & (gtMs > 0.0)
+        key, k_sel, k_loss = jax.random.split(key, 3)
+        flat_valid = sel_valid_px.reshape(-1)
+        idx, sel_ok = subsample_mask_topk(k_sel, flat_valid, P)
+        ray_binds = idx // (H * W)
+        rem = idx % (H * W)
+        ray_rows = rem // W
+        ray_cols = rem % W
+        init_pts = init_all.reshape(-1, 3)[idx]
+
+        # [5] outer loss + grads (incl. the sdf-anchor on post-step verts)
+        new_verts_sg = jax.lax.stop_gradient(new_verts)
+
+        def outer_wrap(pr, bk):
+            total, info = outer_loss(
+                pr, bk, new_verts_sg, tmp.vert_valid, fids, init_pts, sel_ok,
+                ray_rows, ray_cols, ray_binds, gtCs, gtNs, windows, ratios,
+                k_loss)
+            sdf_tv = sdf_value_only(pr["sdf"], sdf_net, new_verts_sg, r_sdf)
+            anchor = L.sdf_anchor_loss(sdf_tv, tmp.vert_valid, 0.0)
+            info["pc_loss_sdf"] = anchor
+            total = total + anchor * w.pc_weight
+            return total, info
+
+        (outer_val, info), (g_params_out, g_bank_out) = jax.value_and_grad(
+            outer_wrap, argnums=(0, 1), has_aux=True)(params, bank)
+
+        g_params = jax.tree_util.tree_map(jnp.add, g_params_in, g_params_out)
+        g_bank = jax.tree_util.tree_map(jnp.add, g_bank_in, g_bank_out)
+
+        # mask frozen leaves, Adam update with injected lr
+        pm, bm = grad_mask_tree(state, cfg)
+        g_params = jax.tree_util.tree_map(jnp.multiply, g_params, pm)
+        g_bank = jax.tree_util.tree_map(jnp.multiply, g_bank, bm)
+        updates, opt_state = optimizer.update(
+            (g_params, g_bank), opt_state, (params, bank))
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params, bank = optax.apply_updates((params, bank), updates)
+
+        info.update(pc_info)
+        info["loss"] = outer_val + pc_loss_val
+        info["pred_mask_sum"] = masks.sum()
+        return TrainState(params, bank, opt_state, tmp), info
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+class Trainer:
+    """Host-side orchestrator: remeshing, stage switching, epoch loop.
+
+    Construction mirrors getOptNet (model/network.py:828-907)."""
+
+    def __init__(self, dataset, smpl_model, conf, resolutions: Dict[str, list],
+                 save_root: Optional[str] = None, seed: int = 0,
+                 skinner_res=(129, 225, 65), data_root: Optional[str] = None):
+        from ..models.smpl import smpl_tmp_apose
+        from ..models.skinner import build_skinner
+
+        self.dataset = dataset
+        self.conf = conf
+        self.save_root = save_root
+        self.resolutions = resolutions
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+
+        self.sdf_net = SDFNet(multires=conf.get_int("sdf_net.multires"))
+        self.trans_net = TranslatorNet(
+            cond_size=conf.get_int("mlp_deformer.condlen"),
+            multires=conf.get_int("mlp_deformer.multires"))
+        self.render_net = RenderNet(
+            feature_size=conf.get_int("render_net.condlen"),
+            multires_v=conf.get_int("render_net.multires_v"))
+
+        pose_type = conf.get_int("train.skinner_pose_type")
+        init_pose = smpl_tmp_apose(pose_type)
+        shape = jnp.asarray(dataset.shape)
+        skinner_cache = (osp.join(data_root, f"initial_skinner_{pose_type}.npz")
+                         if data_root else None)
+        self.skinner, self.body_vs, self.body_fs = self._build_or_load_skinner(
+            smpl_model, shape, init_pose, skinner_res, skinner_cache)
+        self.deformer = Deformer(translator=self.trans_net,
+                                 skinner=self.skinner)
+        self.b_min = np.asarray(self.skinner.b_min)
+        self.b_max = np.asarray(self.skinner.b_max)
+
+        params = {
+            "sdf": init_sdf_params(k1, self.sdf_net),
+            "trans": init_translator_params(k2, self.trans_net),
+            "render": init_render_params(k3, self.render_net),
+        }
+        bank = jax.tree_util.tree_map(jnp.asarray, dataset.param_bank())
+        self.optimizer = optax.adam(1.0)  # lr injected per step
+        opt_state = self.optimizer.init((params, bank))
+        self.state = TrainState(params, bank, opt_state,
+                                self._empty_template(1024, 2048, 4096))
+        self.stage_cfg: Optional[StageStatic] = None
+        self._step_fn = None
+        self.opt_times = 0
+        self.forward_time = 0
+        self.remesh_time = 0.0
+        self.info: Dict[str, float] = {}
+        self._mc_caps = {}
+        self.mc_cap_floor = 32768  # tests lower this for tiny grids
+
+        nw = min(30, dataset.frame_num - 1)
+        self.window = nw
+        self.dctnull = dct_null_space(min(10, max(1, nw // 3)), nw)
+
+        cam = self._host_camera()
+        self.ang_thresh = ang_threshold(cam, 0.5)
+
+    # -- helpers ------------------------------------------------------------
+    def _host_camera(self) -> Camera:
+        cp = self.dataset.camera_params
+        R = np.asarray(quat2mat(jnp.asarray(
+            cp["cam2world_coord_quat"]).reshape(1, 4))[0])
+        return Camera(focal=jnp.asarray(cp["focal_length"]),
+                      principal=jnp.asarray(cp["princeple_points"]),
+                      R=jnp.asarray(R),
+                      T=jnp.asarray(cp["world2cam_coord_trans"]),
+                      H=self.dataset.H, W=self.dataset.W)
+
+    def _build_or_load_skinner(self, smpl_model, shape, init_pose, res, cache):
+        from ..models.skinner import build_skinner, Skinner
+        if cache and osp.isfile(cache):
+            z = np.load(cache)
+            sk = Skinner(ws=jnp.asarray(z["ws"]), b_min=jnp.asarray(z["b_min"]),
+                         b_max=jnp.asarray(z["b_max"]),
+                         joints=jnp.asarray(z["joints"]),
+                         init_pose_inv=jnp.asarray(z["init_pose_inv"]),
+                         parents=z["parents"])
+            return sk, jnp.asarray(z["body_vs"]), z["body_fs"]
+        sk, vs, fs = build_skinner(smpl_model, shape, init_pose, resolution=res)
+        if cache:
+            np.savez(cache, ws=np.asarray(sk.ws), b_min=np.asarray(sk.b_min),
+                     b_max=np.asarray(sk.b_max), joints=np.asarray(sk.joints),
+                     init_pose_inv=np.asarray(sk.init_pose_inv),
+                     parents=sk.parents, body_vs=np.asarray(vs), body_fs=fs)
+        return sk, vs, fs
+
+    def _empty_template(self, vcap, fcap, ecap) -> TemplateState:
+        return TemplateState(
+            verts=jnp.zeros((vcap, 3)), vert_valid=jnp.zeros((vcap,), bool),
+            faces=jnp.zeros((fcap, 3), jnp.int32),
+            face_valid=jnp.zeros((fcap,), bool),
+            edges=jnp.zeros((ecap, 2), jnp.int32),
+            edge_valid=jnp.zeros((ecap,), bool),
+            edge_faces=jnp.zeros((ecap, 2), jnp.int32),
+            ef_valid=jnp.zeros((ecap,), bool),
+            momentum=jnp.zeros((vcap, 3)))
+
+    # -- SDF initialization (cached) ----------------------------------------
+    def initialize_sdf(self, n_iters: int, cache_path: Optional[str] = None,
+                       with_normals: bool = True, key=None):
+        """IGR pretraining to the A-pose body cloud (network.py:207-290)."""
+        from .igr_init import igr_pretrain
+        if cache_path and osp.isfile(cache_path):
+            z = np.load(cache_path, allow_pickle=True)
+            flat = [jnp.asarray(z[k]) for k in sorted(
+                z.files, key=lambda s: int(s.split("_")[0]))]
+            treedef = jax.tree_util.tree_structure(self.state.params["sdf"])
+            sdf_params = jax.tree_util.tree_unflatten(treedef, flat)
+            self.state = self.state._replace(
+                params={**self.state.params, "sdf": sdf_params})
+            return {"cached": True}
+        ns = self._body_vertex_normals()
+        params, info = igr_pretrain(
+            key if key is not None else jax.random.PRNGKey(7),
+            self.state.params["sdf"], self.sdf_net,
+            jnp.asarray(self.body_vs), jnp.asarray(ns), n_iters=n_iters,
+            with_normals=with_normals)
+        self.state = self.state._replace(
+            params={**self.state.params, "sdf": params})
+        # re-init Adam so pretraining doesn't leak moments
+        self.state = self.state._replace(opt_state=self.optimizer.init(
+            (self.state.params, self.state.bank)))
+        if cache_path:
+            flat, _ = jax.tree_util.tree_flatten(params)
+            np.savez(cache_path, **{f"{i}_": np.asarray(x)
+                                    for i, x in enumerate(flat)})
+        return info
+
+    def _body_vertex_normals(self):
+        fv = jnp.ones((self.body_fs.shape[0],), bool)
+        return meshops.vertex_normals(jnp.asarray(self.body_vs),
+                                      jnp.asarray(self.body_fs), fv)
+
+    # -- remesh -------------------------------------------------------------
+    def discretize_sdf(self, ratio_sdf: float, resolutions=None,
+                       iso: float = 0.0):
+        """Octree sweep + fixed-capacity MC; returns (verts np, faces np)."""
+        res = resolutions or self.stage_cfg.resolutions
+        res = [tuple(r) for r in res]
+        caps = default_caps(res)
+        params = self.state.params["sdf"]
+
+        def qf(p):
+            return sdf_value_only(params, self.sdf_net, p, ratio_sdf)
+
+        vol = sparse_sdf_grid(qf, res, self.b_min, self.b_max, iso, caps)
+        spacing, origin = grid_world_coords(res[-1], self.b_min, self.b_max)
+        key_caps = self._mc_caps.get(res[-1], None)
+        if key_caps is None:
+            n = int(np.prod(res[-1]))
+            a = max(self.mc_cap_floor, int(8 * n ** (2 / 3)))
+            key_caps = (2 * a, 4 * a, a)
+            self._mc_caps[res[-1]] = key_caps
+        while True:
+            vcap_mc, fcap_mc, acap_mc = key_caps
+            mc = marching_cubes(vol, origin, spacing, iso, vcap_mc, fcap_mc,
+                                acap_mc)
+            nv, nf = int(mc.nv), int(mc.nf)
+            if nv <= vcap_mc and nf <= fcap_mc:
+                break
+            key_caps = (max(vcap_mc, 2 * nv), max(fcap_mc, 2 * nf),
+                        max(acap_mc, 2 * nf))
+            self._mc_caps[res[-1]] = key_caps
+        assert nv > 0, "tmp sdf vanished..."  # network.py:466-468
+        return (np.asarray(mc.verts[:nv]), np.asarray(mc.faces[:nf]),
+                nv, nf)
+
+    def remesh(self, ratio_sdf: float):
+        verts, faces, nv, nf = self.discretize_sdf(ratio_sdf)
+        cfg = self.stage_cfg
+        if nv > cfg.vcap or nf > cfg.fcap:
+            # grow capacities (forces a re-jit of the step)
+            self.stage_cfg = cfg = dataclass_replace(
+                cfg, vcap=_round_up(max(nv, cfg.vcap), 4096),
+                fcap=_round_up(max(nf, cfg.fcap), 4096),
+                ecap=_round_up(3 * max(nf, cfg.fcap) // 2 + 4096, 4096))
+            self._step_fn = None
+        topo = build_edge_topology(faces, nf, cfg.ecap)
+        v = np.zeros((cfg.vcap, 3), np.float32)
+        v[:nv] = verts
+        vv = np.zeros((cfg.vcap,), bool)
+        vv[:nv] = True
+        f = np.zeros((cfg.fcap, 3), np.int32)
+        f[:nf] = faces
+        fv = np.zeros((cfg.fcap,), bool)
+        fv[:nf] = True
+        self.state = self.state._replace(tmp=TemplateState(
+            verts=jnp.asarray(v), vert_valid=jnp.asarray(vv),
+            faces=jnp.asarray(f), face_valid=jnp.asarray(fv),
+            edges=jnp.asarray(topo["edges"]),
+            edge_valid=jnp.asarray(topo["edge_valid"]),
+            edge_faces=jnp.asarray(topo["edge_faces"]),
+            ef_valid=jnp.asarray(topo["ef_valid"]),
+            momentum=jnp.zeros((cfg.vcap, 3))))
+        self.remesh_time = 1.0 + np.floor(self.remesh_time)
+        return nv, nf
+
+    # -- stages -------------------------------------------------------------
+    def set_stage(self, name: str):
+        """Parity: utils.set_hierarchical_config + update_hierarchical_config."""
+        conf = self.conf
+        tr = conf.get_config(f"train.{name}.point_render")
+        wconf = conf.get_config(f"loss_{name}")
+        lw = LossWeights(
+            color_weight=wconf.get_float("color_weight"),
+            normal_weight=wconf.get_float("normal_weight"),
+            weighted_normal=wconf.get_bool("weighted_normal"),
+            grad_weight=wconf.get_float("grad_weight"),
+            offset_weight=wconf.get_float("offset_weight"),
+            def_regu_weight=wconf.get_float("def_regu.weight"),
+            def_regu_c=wconf.get_float("def_regu.c"),
+            dct_weight=wconf.get_float("dct_weight"),
+            pc_weight=wconf.get_float("pc_weight.weight"),
+            laplacian_weight=wconf.get_float("pc_weight.laplacian_weight"),
+            edge_weight=wconf.get_float("pc_weight.edge_weight"),
+            norm_weight=wconf.get_float("pc_weight.norm_weight"),
+            def_consistent_weight=wconf.get_float(
+                "pc_weight.def_consistent.weight"),
+            def_consistent_c=wconf.get_float("pc_weight.def_consistent.c"),
+            sample_pix_num=(wconf.get_int("sample_pix_num")
+                            if "sample_pix_num" in wconf else 0),
+        )
+        res = tuple(tuple(r) for r in self.resolutions[name])
+        # static raster footprint from the MC voxel size: triangles from MC
+        # never exceed one voxel, so the projected bbox is bounded by
+        # voxel_diag * f / z_min (host estimate, fixed per stage)
+        spacing, _ = grid_world_coords(res[-1], self.b_min, self.b_max)
+        cam = self._host_camera()
+        z_min = max(float(np.asarray(cam.T)[2]) - float(self.b_max[2]), 0.3)
+        vox = float(np.max(np.asarray(spacing)))
+        fp = int(np.clip(np.ceil(
+            2.0 * vox * float(np.asarray(cam.focal)[0]) / z_min) + 2, 6, 48))
+
+        occ = conf.get_config("train.opt_camera")
+        prev = self.stage_cfg
+        self.stage_cfg = StageStatic(
+            name=name,
+            N=tr.get_int("batch_size"),
+            H=self.dataset.H, W=self.dataset.W,
+            sample_pix=conf.get_int("train.sample_pix_num"),
+            radius=tr.get_float("radius"),
+            remesh_intersect=tr.get_int("remesh_intersect"),
+            vcap=prev.vcap if prev else 16384,
+            fcap=prev.fcap if prev else 32768,
+            ecap=prev.ecap if prev else 49152,
+            mc_active_cap=65536,
+            resolutions=res,
+            sweep_caps=tuple(default_caps(res)),
+            raster_footprint=fp,
+            weights=lw,
+            window=self.window,
+            dct_k=min(10, max(1, self.window // 3)),
+            opt_pose=conf.get_bool("train.opt_pose"),
+            opt_trans=conf.get_bool("train.opt_trans"),
+            opt_cam_focal=occ.get_bool("focal_length"),
+            opt_cam_principal=occ.get_bool("princeple_points"),
+            opt_cam_quat=occ.get_bool("quat"),
+            opt_cam_T=occ.get_bool("T"),
+            has_normals=self.dataset.has_normals,
+        )
+        self._step_fn = None
+        self.forward_time = 0
+
+    def override_stage(self, **kw):
+        """Override static stage fields (tests/bench shrink sample counts and
+        capacities; production leaves config.conf values untouched)."""
+        self.stage_cfg = dataclass_replace(self.stage_cfg, **kw)
+        self._step_fn = None
+
+    def _get_step_fn(self):
+        if self._step_fn is None:
+            self._step_fn = make_train_step(
+                self.sdf_net, self.trans_net, self.render_net, self.deformer,
+                self.stage_cfg, self.dctnull, self.ang_thresh, self.optimizer)
+        return self._step_fn
+
+    # -- one optimization step ---------------------------------------------
+    def train_step(self, fids: np.ndarray, batch: dict, lr: float, key):
+        cfg = self.stage_cfg
+        if self.forward_time % cfg.remesh_intersect == 0:
+            self.remesh(1.0)
+        step = self._get_step_fn()
+        # traced (not static) so the deformer-ratio annealing never re-jits
+        ratios = jnp.asarray([1.0, self.opt_times / 2500.0 + 0.5, 1.0],
+                             jnp.float32)
+        starts, _ = self.dataset.window_indices(fids, cfg.window)
+        windows = starts[:, None] + np.arange(cfg.window)[None, :]
+        gtNs = (jnp.asarray(batch["normal"]) if "normal" in batch
+                else jnp.zeros((cfg.N, cfg.H, cfg.W, 3)))
+        self.state, info = step(
+            self.state, jnp.asarray(batch["img"]), jnp.asarray(batch["mask"]),
+            gtNs, jnp.asarray(fids, jnp.int32), jnp.asarray(windows, jnp.int32),
+            ratios, jnp.asarray(lr, jnp.float32), key)
+        self.remesh_time = (np.floor(self.remesh_time)
+                            + (self.forward_time % cfg.remesh_intersect)
+                            / cfg.remesh_intersect)
+        self.forward_time += 1
+        self.opt_times += 1
+        self.info = {k: float(v) for k, v in info.items()}
+        self.info["remesh"] = self.remesh_time
+        return self.info
+
+
+def dataclass_replace(dc, **kw):
+    import dataclasses
+    return dataclasses.replace(dc, **kw)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Synthetic end-to-end (tests + bench)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_TEST_RES = [(9, 9, 9), (17, 17, 17), (33, 33, 33)]
+
+
+def build_synthetic_trainer(tmp_root: str, n_frames: int = 8, H: int = 96,
+                            W: int = 96, resolutions=None,
+                            smpl_verts: int = 400):
+    """A full trainer on a synthetic scene + toy SMPL (no assets needed)."""
+    from ..data import SceneDataset, make_synthetic_scene
+    from ..models.smpl import toy_smpl_model
+    from ..config import parse_hocon
+
+    scene = osp.join(tmp_root, "scene")
+    if not osp.isdir(osp.join(scene, "imgs")):
+        os.makedirs(scene, exist_ok=True)
+        make_synthetic_scene(scene, n_frames=n_frames, H=H, W=W)
+    ds = SceneDataset(scene, conds_lens={"deformer": 128, "renderer": 256})
+    smpl = toy_smpl_model(n_verts=smpl_verts)
+    conf = parse_hocon(open(osp.join(
+        osp.dirname(__file__), "..", "..", "configs", "config.conf")).read())
+    res = resolutions or {
+        "coarse": _DEFAULT_TEST_RES, "medium": _DEFAULT_TEST_RES,
+        "fine": _DEFAULT_TEST_RES}
+    tr = Trainer(ds, smpl, conf, res, skinner_res=(17, 29, 9))
+    return tr, ds
+
+
+def build_synthetic_bench_step(sample_rays: int = 6144, H: int = 512,
+                               W: int = 512):
+    """The real jitted train step at production-ish scale for bench.py."""
+    import tempfile
+    root = osp.join(tempfile.gettempdir(), f"srtpu_bench_{H}")
+    os.makedirs(root, exist_ok=True)
+    tr, ds = build_synthetic_trainer(root, n_frames=32, H=H, W=W,
+                                     resolutions={
+                                         "coarse": [(17, 17, 17),
+                                                    (33, 33, 33),
+                                                    (65, 65, 65)],
+                                         "medium": [(17, 17, 17),
+                                                    (33, 33, 33),
+                                                    (65, 65, 65)],
+                                         "fine": [(17, 17, 17),
+                                                  (33, 33, 33),
+                                                  (65, 65, 65)]})
+    tr.set_stage("fine")
+    tr.remesh(1.0)
+    step = tr._get_step_fn()
+    cfg = tr.stage_cfg
+    fids = np.arange(cfg.N)
+    batch = ds.batch(fids)
+    starts, _ = ds.window_indices(fids, cfg.window)
+    windows = starts[:, None] + np.arange(cfg.window)[None, :]
+    args = (tr.state, jnp.asarray(batch["img"]), jnp.asarray(batch["mask"]),
+            jnp.zeros((cfg.N, cfg.H, cfg.W, 3)), jnp.asarray(fids, jnp.int32),
+            jnp.asarray(windows, jnp.int32),
+            jnp.asarray([1.0, 0.5, 1.0], jnp.float32),
+            jnp.asarray(1e-4, jnp.float32), jax.random.PRNGKey(0))
+
+    def run(*a):
+        state, info = step(*a)
+        return info["loss"]
+
+    return run, args

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,13 +31,20 @@ from ..utils.math import quat2mat
 @dataclass(frozen=True)
 class Camera:
     """A single camera (all frames share one physical camera in this system,
-    mirroring dataset/dataset.py:58-62). Arrays so they stay optimizable."""
+    mirroring dataset/dataset.py:58-62). Arrays so they stay optimizable.
+    Registered as a pytree with H/W static."""
     focal: jnp.ndarray        # (2,) fx, fy in pixels
     principal: jnp.ndarray    # (2,) cx, cy in pixels
     R: jnp.ndarray            # (3,3) cam->world coord rotation
     T: jnp.ndarray            # (3,) world->cam translation
     H: int
     W: int
+
+
+jax.tree_util.register_pytree_node(
+    Camera,
+    lambda c: ((c.focal, c.principal, c.R, c.T), (c.H, c.W)),
+    lambda aux, leaves: Camera(*leaves, H=aux[0], W=aux[1]))
 
 
 def make_camera(focal, principal, quat, T, H: int, W: int) -> Camera:
