@@ -1,0 +1,154 @@
+"""Training CLI — parity with the reference's train.py.
+
+Same flags (`--gpu-ids` accepted and ignored: device selection is JAX's),
+same config.conf semantics, same 3-stage hierarchical schedule, octree
+resolutions, MultiStepLR, per-epoch checkpointing, and the per-step loss
+printout including rayInfo/invInfo telemetry (train.py:12-189).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import shutil
+import time
+
+import numpy as np
+
+
+# per-stage octree resolutions (train.py:29-53 — config data, reused verbatim)
+RESOLUTIONS = {
+    "coarse": [(15, 21, 9), (29, 41, 17), (57, 81, 33), (113, 161, 65),
+               (225, 321, 129)],
+    "medium": [(19, 25, 13), (37, 49, 25), (73, 97, 49), (145, 193, 97),
+               (289, 385, 193)],
+    "fine": [(21, 27, 15), (41, 53, 29), (81, 105, 57), (161, 209, 113),
+             (321, 417, 225)],
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="SelfRecon-TPU per-subject "
+                                                 "avatar optimization")
+    parser.add_argument("--gpu-ids", nargs="+", type=int, default=None,
+                        help="accepted for CLI parity; unused on TPU")
+    parser.add_argument("--conf", default=None, help="config file (HOCON)")
+    parser.add_argument("--data", default=None, help="data root")
+    parser.add_argument("--model", default=None, help="checkpoint to resume")
+    parser.add_argument("--sdf-model", default=None,
+                        help="substitute sdf params from this checkpoint")
+    parser.add_argument("--model-rm-prefix", nargs="+", default=None,
+                        help="accepted for CLI parity (no name-mangled keys)")
+    parser.add_argument("--save-folder", default=None)
+    parser.add_argument("--toy-smpl", action="store_true",
+                        help="use the synthetic SMPL stand-in (no pkl assets)")
+    parser.add_argument("--max-epochs", type=int, default=None,
+                        help="cap epochs (debug)")
+    args = parser.parse_args(argv)
+
+    import jax
+    from ..config import parse_file
+    from ..data import SceneDataset, RandomSampler, batch_iterator
+    from ..engine.trainer import Trainer
+    from ..engine.checkpoint import save_checkpoint, load_checkpoint
+
+    conf = parse_file(args.conf)
+    assert args.save_folder is not None, "please set --save-folder..."
+    data_root = args.data
+    save_root = osp.join(data_root, args.save_folder)
+    os.makedirs(osp.join(save_root, "debug"), exist_ok=True)
+    shutil.copyfile(args.conf, osp.join(save_root, "config.conf"))
+
+    conds = {"deformer": conf.get_int("mlp_deformer.condlen"),
+             "renderer": conf.get_int("render_net.condlen")}
+    dataset = SceneDataset(data_root, conds)
+    print(f"scene data use {dataset.gender} smpl; {dataset.frame_num} frames "
+          f"{dataset.H}x{dataset.W}")
+
+    if args.toy_smpl:
+        from ..models.smpl import toy_smpl_model
+        smpl = toy_smpl_model()
+    else:
+        from ..models.smpl import get_smpl
+        smpl = get_smpl(dataset.gender)
+
+    trainer = Trainer(dataset, smpl, conf, RESOLUTIONS, save_root=save_root,
+                      data_root=data_root)
+    print("box:", trainer.b_min.tolist(), trainer.b_max.tolist())
+
+    start_epoch = 0
+    initial_iters = conf.get_int("train.initial_iters")
+    pose_type = conf.get_int("train.skinner_pose_type")
+    multires = conf.get_int("sdf_net.multires")
+    sdf_cache = osp.join(data_root,
+                         f"initial_sdf_idr_{multires}_{pose_type}.npz")
+    if args.model and osp.isfile(args.model):
+        print("load model:", args.model)
+        sdf_sub = None
+        if args.sdf_model and osp.isfile(args.sdf_model):
+            import pickle
+            with open(args.sdf_model, "rb") as f:
+                sdf_sub = pickle.load(f)["params"]["sdf"]
+        start_epoch = load_checkpoint(args.model, trainer, sdf_params=sdf_sub)
+    else:
+        # IGR pretraining (cached like the reference, network.py:835-840)
+        iters = abs(initial_iters)
+        info = trainer.initialize_sdf(iters, cache_path=sdf_cache)
+        print("initial sdf:", info)
+
+    if trainer.stage_cfg is None:
+        trainer.set_stage("coarse")
+
+    nepoch = conf.get_int("train.nepoch")
+    if args.max_epochs is not None:
+        nepoch = min(nepoch, args.max_epochs)
+    base_lr = conf.get_float("train.learning_rate")
+    milestones = [int(m) for m in conf.get_list("train.scheduler.milestones")]
+    factor = conf.get_float("train.scheduler.factor")
+    medium_at = conf.get_int("train.medium.start_epoch")
+    fine_at = conf.get_int("train.fine.start_epoch")
+    shuffle = conf.get_bool("train.shuffle")
+    sampler = RandomSampler(dataset.frame_num, 1, shuffle)
+    key = jax.random.PRNGKey(0)
+
+    for epoch in range(start_epoch, nepoch + 1):
+        if medium_at >= 0 and epoch == medium_at:
+            save_checkpoint(osp.join(save_root, "coarse.pkl"), trainer, epoch)
+            trainer.set_stage("medium")
+            print("enable medium hierarchical")
+        if fine_at >= 0 and epoch == fine_at:
+            save_checkpoint(osp.join(save_root, "medium.pkl"), trainer, epoch)
+            trainer.set_stage("fine")
+            print("enable fine hierarchical")
+        lr = base_lr * (factor ** sum(1 for m in milestones if epoch >= m))
+        bs = trainer.stage_cfg.N
+        t_epoch = time.time()
+        for di, (fids, batch) in enumerate(batch_iterator(dataset, sampler,
+                                                          bs)):
+            key, sk = jax.random.split(key)
+            t0 = time.time()
+            info = trainer.train_step(np.asarray(fids), batch, lr, sk)
+            dt = time.time() - t0
+            out = (f"({epoch}/{di}): loss = {info['loss']:.5f}; "
+                   f"color_loss: {info.get('color_loss', -1):.5f}, "
+                   f"eikonal_loss: {info.get('grad_loss', -1):.5f}")
+            for k in ("normal_loss", "def_loss", "offset_loss", "dct_loss"):
+                if k in info:
+                    out += f" {k}: {info[k]:.5f},"
+            out += (f"\n\tpc_sdf_l: {info.get('pc_loss_sdf', -1):.5f}; "
+                    f"mask_loss: {info.get('pc_mask_loss', -1):.5f}\t")
+            if "pc_defconst_loss" in info:
+                out += f"defconst_loss: {info['pc_defconst_loss']:.5f}\t"
+            P = trainer.stage_cfg.sample_pix * bs
+            out += (f"\n\trayInfo({P},{int(info.get('ray_converged', 0))})\t"
+                    f"invInfo({P},{int(info.get('inv_ok', 0))})\t"
+                    f"remesh: {info['remesh']:.3f}\t{dt:.2f}s/it")
+            print(out, flush=True)
+        print(f"epoch {epoch} took {time.time() - t_epoch:.1f}s", flush=True)
+        save_checkpoint(osp.join(save_root, "latest.pkl"), trainer, epoch + 1)
+
+    print("training done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Inference: per-frame mesh renders, offset-only renders, IDR colors.
+
+Parity target: OptimNetwork.infer (model/network.py:306-372) + infer.py's
+output conventions: 'meshs' Phong renders of the deformed template (+ mask
+IoU vs gt), 'def1meshs' renders of the MLP-offset-only deformation from a
+fixed frontal camera, and IDR colors at ray-surface intersections composited
+over white.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.sdf import sdf_apply, sdf_value_only
+from ..models.translator import translator_apply
+from ..models.render import render_apply
+from ..models.deformer import deformer_apply, deformer_jacobian
+from ..render.camera import Camera, cam_pos, view_rays
+from ..render.shading import phong_shade
+from ..ops.rasterize import rasterize_mesh
+from ..engine.surface import (SurfaceConfig, optimize_surface_points,
+                              surface_inits_from_fragments)
+from ..utils.math import inv3x3, normalize
+
+
+def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False):
+    """Returns jitted fn(params, bank, tmp, fid) -> per-frame outputs dict.
+
+    One frame per call (infer batches are loops; shapes stay static).
+    """
+    sdf_net = trainer.sdf_net
+    trans_net = trainer.trans_net
+    render_net = trainer.render_net
+    deformer = trainer.deformer
+    H, W = trainer.dataset.H, trainer.dataset.W
+    cfg = SurfaceConfig(n_iters=30, dthreshold=1e-4,
+                        athreshold_deg=trainer.ang_thresh, w1=3.05, w2=1.0)
+
+    @jax.jit
+    def infer_frame(params, bank, tmp, fid, gt_mask):
+        cam = Camera(
+            focal=bank["camera"]["focal_length"],
+            principal=bank["camera"]["princeple_points"],
+            R=_quat_R(bank["camera"]["cam2world_coord_quat"]),
+            T=bank["camera"]["world2cam_coord_trans"], H=H, W=W)
+        poses = bank["poses"][fid][None]
+        trans = bank["trans"][fid][None]
+        dcond = bank["cond_deformer"][fid][None]
+        vcap = tmp.verts.shape[0]
+        binds = jnp.zeros((vcap,), jnp.int32)
+        def_verts, _ = deformer_apply(params["trans"], deformer, tmp.verts,
+                                      binds, dcond, poses, trans, 1.0)
+
+        frags = rasterize_mesh(cam, def_verts, tmp.faces, tmp.face_valid,
+                               footprint)
+        light = cam_pos(cam)
+        mesh_img, hit = phong_shade(cam, def_verts, tmp.faces,
+                                    tmp.face_valid, frags, light)
+        # mask IoU error (network.py:322-324)
+        m = hit.astype(jnp.float32)
+        inter = (m * gt_mask).sum()
+        union = jnp.abs(m + gt_mask - m * gt_mask).sum()
+        mask_err = 1.0 - inter / jnp.clip(union, 1e-8, None)
+
+        # def1: translator-only deformation from a fixed frontal camera
+        # (network.py:332-339): R = diag(-1,1,-1), T = mean trans
+        tverts, _ = translator_apply(params["trans"], trans_net, tmp.verts,
+                                     jnp.broadcast_to(dcond[0], (vcap,
+                                                                 dcond.shape[-1])),
+                                     1.0)
+        newT = bank["trans"].mean(0)
+        cam1 = Camera(focal=cam.focal, principal=cam.principal,
+                      R=jnp.asarray([[-1.0, 0, 0], [0, 1.0, 0],
+                                     [0, 0, -1.0]]),
+                      T=newT, H=H, W=W)
+        frags1 = rasterize_mesh(cam1, tverts, tmp.faces, tmp.face_valid,
+                                footprint)
+        def1_img, _ = phong_shade(cam1, tverts, tmp.faces, tmp.face_valid,
+                                  frags1, cam_pos(cam1) + jnp.asarray([0., 1., 0.]))
+
+        out = {"mesh_img": mesh_img, "hit": hit, "mask_err": mask_err,
+               "def1_img": def1_img, "def_verts": def_verts}
+        if notcolor:
+            return out
+
+        init_pts, valid = surface_inits_from_fragments(
+            tmp.verts, tmp.faces, frags.pix_to_face, frags.bary)
+        init_flat = init_pts.reshape(-1, 3)
+        valid_flat = valid.reshape(-1)
+        rows = jnp.arange(H * W) // W
+        cols = jnp.arange(H * W) % W
+        pix = jnp.stack([cols.astype(jnp.float32), rows.astype(jnp.float32),
+                         jnp.ones((H * W,), jnp.float32)], -1)
+        rays = view_rays(cam, pix)
+        c = cam_pos(cam)
+        bflat = jnp.zeros((H * W,), jnp.int32)
+        pts, done = optimize_surface_points(
+            params["sdf"], params["trans"], sdf_net, deformer, init_flat,
+            bflat, dcond, poses, trans, rays, c, 1.0, 1.0, cfg)
+        done = done & valid_flat
+        nx = jax.grad(lambda p: sdf_value_only(params["sdf"], sdf_net, p,
+                                               1.0).sum())(pts)
+        nx = normalize(nx)
+        _, feat = sdf_apply(params["sdf"], sdf_net, pts, 1.0)
+        jac, _ = deformer_jacobian(params["trans"], deformer, pts, bflat,
+                                   dcond, poses, trans, 1.0)
+        jinv, ok = inv3x3(jac)
+        crays = jnp.where(ok[:, None],
+                          jnp.einsum("nij,nj->ni", jinv, rays), rays)
+        crays = normalize(crays)
+        colors = render_apply(params["render"], render_net, pts, nx, crays,
+                              feat, 1.0)
+        colors = jnp.clip(colors / 2.0 + 0.5, 0.0, 1.0)
+        img = jnp.where(done[:, None], colors, 1.0).reshape(H, W, 3)
+        out["color_img"] = img
+        return out
+
+    return infer_frame
+
+
+def _quat_R(quat):
+    from ..utils.math import quat2mat
+    return quat2mat(quat.reshape(1, 4))[0]

@@ -393,39 +393,55 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
 
         return total, info
 
-    def step(state: TrainState, gtCs, gtMs, gtNs, fids, windows,
-             ratios, lr, key):
-        params, bank, opt_state, tmp = state
-        r_sdf, r_def, r_ren = ratios
+    # The step is TWO jitted programs split at the natural no-grad boundary
+    # (the reference also rasterizes under no_grad, network.py:491-493):
+    # one giant program triggers an XLA TPU priority-fusion compiler crash
+    # (SIGILL in TpuPriorityFusionQueue::NormalizedComputationCost), and the
+    # split also re-compiles faster per stage.  Only device arrays cross the
+    # boundary — no host syncs.
+
+    @jax.jit
+    def geom_pass(state: TrainState, gtMs, fids, ratios, key):
+        """No-grad geometry: deform template, rasterize, surface inits, ray
+        selection, gt-mask dilation."""
+        params, bank, _, tmp = state
+        _, r_def, _ = ratios
         cam_sg = jax.tree_util.tree_map(
             jax.lax.stop_gradient, camera_from_bank(bank, H, W, cfg))
         poses_sg, trans_sg, dcond_sg, _ = jax.tree_util.tree_map(
             jax.lax.stop_gradient, frame_params(bank, fids))
-
-        # [1] deform OLD template verts; rasterize (no grad) for surface inits
         flat = jnp.tile(tmp.verts, (N, 1))
         binds = jnp.repeat(jnp.arange(N), vcap)
         def_flat, _ = deformer_apply(params["trans"], deformer,
                                      jax.lax.stop_gradient(flat), binds,
                                      dcond_sg, poses_sg, trans_sg, r_def)
-        def_flat = jax.lax.stop_gradient(def_flat)
-        def_verts = def_flat.reshape(N, vcap, 3)
+        def_verts = jax.lax.stop_gradient(def_flat).reshape(N, vcap, 3)
         frags = [rasterize_mesh(cam_sg, def_verts[i], tmp.faces,
                                 tmp.face_valid, cfg.raster_footprint)
                  for i in range(N)]
         p2f = jnp.stack([f.pix_to_face for f in frags])   # (N,H,W)
         bary = jnp.stack([f.bary for f in frags])
-
         init_all, valid_all = surface_inits_from_fragments(
             jax.lax.stop_gradient(tmp.verts), tmp.faces, p2f, bary)
-
-        # [2] gt mask dilation to match the splat radius (network.py:499-501)
         mgtMs = L.max_pool_mask(gtMs, radius_px) if radius_px > 0 else gtMs
+        # ray selection: rasterized AND inside gt mask, subsampled to P
+        sel_valid_px = valid_all & (gtMs > 0.0)
+        idx, sel_ok = subsample_mask_topk(key, sel_valid_px.reshape(-1), P)
+        ray_binds = (idx // (H * W)).astype(jnp.int32)
+        rem = idx % (H * W)
+        ray_rows = (rem // W).astype(jnp.int32)
+        ray_cols = (rem % W).astype(jnp.int32)
+        init_pts = init_all.reshape(-1, 3)[idx]
+        return init_pts, sel_ok, ray_binds, ray_rows, ray_cols, mgtMs
 
-        # [3] inner pc loss: grads w.r.t. template verts AND shared params
+    @jax.jit
+    def inner_pass(state: TrainState, fids, mgtMs, ratios):
+        """Inner pc loss: grads w.r.t. template verts AND shared params;
+        template-vertex SGD update."""
+        params, bank, _, tmp = state
+
         def inner_wrap(tv, pr, bk):
-            loss, aux = inner_loss(tv, pr, bk, tmp, fids, mgtMs, ratios)
-            return loss, aux
+            return inner_loss(tv, pr, bk, tmp, fids, mgtMs, ratios)
 
         (pc_loss_val, (masks, pc_info)), inner_grads = jax.value_and_grad(
             inner_wrap, argnums=(0, 1, 2), has_aux=True)(
@@ -436,29 +452,25 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
         new_mom = 0.9 * tmp.momentum + g_verts
         new_verts = tmp.verts - 0.05 * new_mom
         new_verts = jnp.where(tmp.vert_valid[:, None], new_verts, tmp.verts)
-        tmp = tmp._replace(verts=new_verts, momentum=new_mom)
+        new_tmp = tmp._replace(verts=new_verts, momentum=new_mom)
+        return new_tmp, g_params_in, g_bank_in, pc_loss_val, masks, pc_info
 
-        # [4] ray selection: rasterized AND inside gt mask, subsampled to P
-        sel_valid_px = valid_all & (gtMs > 0.0)
-        key, k_sel, k_loss = jax.random.split(key, 3)
-        flat_valid = sel_valid_px.reshape(-1)
-        idx, sel_ok = subsample_mask_topk(k_sel, flat_valid, P)
-        ray_binds = idx // (H * W)
-        rem = idx % (H * W)
-        ray_rows = rem // W
-        ray_cols = rem % W
-        init_pts = init_all.reshape(-1, 3)[idx]
-
-        # [5] outer loss + grads (incl. the sdf-anchor on post-step verts)
-        new_verts_sg = jax.lax.stop_gradient(new_verts)
+    @jax.jit
+    def outer_pass(state: TrainState, new_tmp, g_params_in, g_bank_in,
+                   gtCs, gtNs, fids, init_pts, sel_ok, ray_rows, ray_cols,
+                   ray_binds, windows, ratios, lr, key):
+        """Outer loss (surface + field losses) + combined Adam update."""
+        params, bank, opt_state, _ = state
+        r_sdf = ratios[0]
+        new_verts_sg = jax.lax.stop_gradient(new_tmp.verts)
 
         def outer_wrap(pr, bk):
             total, info = outer_loss(
-                pr, bk, new_verts_sg, tmp.vert_valid, fids, init_pts, sel_ok,
-                ray_rows, ray_cols, ray_binds, gtCs, gtNs, windows, ratios,
-                k_loss)
+                pr, bk, new_verts_sg, new_tmp.vert_valid, fids, init_pts,
+                sel_ok, ray_rows, ray_cols, ray_binds, gtCs, gtNs, windows,
+                ratios, key)
             sdf_tv = sdf_value_only(pr["sdf"], sdf_net, new_verts_sg, r_sdf)
-            anchor = L.sdf_anchor_loss(sdf_tv, tmp.vert_valid, 0.0)
+            anchor = L.sdf_anchor_loss(sdf_tv, new_tmp.vert_valid, 0.0)
             info["pc_loss_sdf"] = anchor
             total = total + anchor * w.pc_weight
             return total, info
@@ -468,8 +480,6 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
 
         g_params = jax.tree_util.tree_map(jnp.add, g_params_in, g_params_out)
         g_bank = jax.tree_util.tree_map(jnp.add, g_bank_in, g_bank_out)
-
-        # mask frozen leaves, Adam update with injected lr
         pm, bm = grad_mask_tree(state, cfg)
         g_params = jax.tree_util.tree_map(jnp.multiply, g_params, pm)
         g_bank = jax.tree_util.tree_map(jnp.multiply, g_bank, bm)
@@ -477,13 +487,28 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
             (g_params, g_bank), opt_state, (params, bank))
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params, bank = optax.apply_updates((params, bank), updates)
+        return TrainState(params, bank, opt_state, new_tmp), info, outer_val
 
+    def step(state: TrainState, gtCs, gtMs, gtNs, fids, windows,
+             ratios, lr, key):
+        k_sel, k_loss = jax.random.split(key)
+        (init_pts, sel_ok, ray_binds, ray_rows, ray_cols,
+         mgtMs) = geom_pass(state, gtMs, fids, ratios, k_sel)
+        (new_tmp, g_params_in, g_bank_in, pc_loss_val, masks,
+         pc_info) = inner_pass(state, fids, mgtMs, ratios)
+        new_state, info, outer_val = outer_pass(
+            state, new_tmp, g_params_in, g_bank_in, gtCs, gtNs, fids,
+            init_pts, sel_ok, ray_rows, ray_cols, ray_binds, windows,
+            ratios, lr, k_loss)
         info.update(pc_info)
         info["loss"] = outer_val + pc_loss_val
         info["pred_mask_sum"] = masks.sum()
-        return TrainState(params, bank, opt_state, tmp), info
+        return new_state, info
 
-    return jax.jit(step)
+    step.geom_pass = geom_pass        # exposed for diagnostics
+    step.inner_pass = inner_pass
+    step.outer_pass = outer_pass
+    return step
 
 
 # ---------------------------------------------------------------------------
@@ -545,6 +570,7 @@ class Trainer:
         self.remesh_time = 0.0
         self.info: Dict[str, float] = {}
         self._mc_caps = {}
+        self._disc_cache = {}
         self.mc_cap_floor = 32768  # tests lower this for tiny grids
 
         nw = min(30, dataset.frame_num - 1)
@@ -631,34 +657,49 @@ class Trainer:
                                       jnp.asarray(self.body_fs), fv)
 
     # -- remesh -------------------------------------------------------------
+    def _discretize_jit(self, res: tuple, caps: tuple, mc_caps: tuple):
+        """One jitted program: octree sweep + marching cubes (no eager ops —
+        eager dispatch over the remote-TPU tunnel is pathological)."""
+        key = (res, caps, mc_caps)
+        if key not in self._disc_cache:
+            spacing, origin = grid_world_coords(res[-1], self.b_min,
+                                                self.b_max)
+            sdf_net, b_min, b_max = self.sdf_net, self.b_min, self.b_max
+            vcap_mc, fcap_mc, acap_mc = mc_caps
+
+            @jax.jit
+            def fn(params, ratio):
+                def qf(p):
+                    return sdf_value_only(params, sdf_net, p, ratio)
+                vol = sparse_sdf_grid(qf, res, b_min, b_max, 0.0, caps)
+                return marching_cubes(vol, origin, spacing, 0.0, vcap_mc,
+                                      fcap_mc, acap_mc)
+
+            self._disc_cache[key] = fn
+        return self._disc_cache[key]
+
     def discretize_sdf(self, ratio_sdf: float, resolutions=None,
                        iso: float = 0.0):
         """Octree sweep + fixed-capacity MC; returns (verts np, faces np)."""
         res = resolutions or self.stage_cfg.resolutions
-        res = [tuple(r) for r in res]
-        caps = default_caps(res)
-        params = self.state.params["sdf"]
-
-        def qf(p):
-            return sdf_value_only(params, self.sdf_net, p, ratio_sdf)
-
-        vol = sparse_sdf_grid(qf, res, self.b_min, self.b_max, iso, caps)
-        spacing, origin = grid_world_coords(res[-1], self.b_min, self.b_max)
+        res = tuple(tuple(int(v) for v in r) for r in res)
+        caps = tuple(default_caps(res))
         key_caps = self._mc_caps.get(res[-1], None)
         if key_caps is None:
             n = int(np.prod(res[-1]))
             a = max(self.mc_cap_floor, int(8 * n ** (2 / 3)))
             key_caps = (2 * a, 4 * a, a)
             self._mc_caps[res[-1]] = key_caps
+        params = self.state.params["sdf"]
+        ratio = jnp.asarray(ratio_sdf, jnp.float32)
         while True:
-            vcap_mc, fcap_mc, acap_mc = key_caps
-            mc = marching_cubes(vol, origin, spacing, iso, vcap_mc, fcap_mc,
-                                acap_mc)
+            mc = self._discretize_jit(res, caps, key_caps)(params, ratio)
             nv, nf = int(mc.nv), int(mc.nf)
+            vcap_mc, fcap_mc, _ = key_caps
             if nv <= vcap_mc and nf <= fcap_mc:
                 break
             key_caps = (max(vcap_mc, 2 * nv), max(fcap_mc, 2 * nf),
-                        max(acap_mc, 2 * nf))
+                        max(key_caps[2], 2 * nf))
             self._mc_caps[res[-1]] = key_caps
         assert nv > 0, "tmp sdf vanished..."  # network.py:466-468
         return (np.asarray(mc.verts[:nv]), np.asarray(mc.faces[:nf]),

@@ -23,6 +23,7 @@ TPU-first design:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -115,6 +116,8 @@ def smooth_weights(weights: jnp.ndarray, times: int = 3) -> jnp.ndarray:
     return weights
 
 
+@partial(jax.jit, static_argnames=("resolution", "mean_neighbor",
+                                   "smooth_times", "chunk"))
 def compute_lbs_weight_field(b_min, b_max, resolution, smpl_verts, smpl_ws,
                              mean_neighbor: int = 30, smooth_times: int = 30,
                              chunk: int = 4096) -> jnp.ndarray:
@@ -122,7 +125,8 @@ def compute_lbs_weight_field(b_min, b_max, resolution, smpl_verts, smpl_ws,
 
     resolution: (W, H, D); returns (24, D, H, W).
     Grid coords use align_corners=False voxel centers.
-    Parity: model/Deformer.py:246-284.
+    Parity: model/Deformer.py:246-284.  jit-wrapped: the one-time build is a
+    single XLA program (eager dispatch over a remote TPU is pathological).
     """
     W, H, D = resolution
     b_min = jnp.asarray(b_min, jnp.float32).reshape(1, 3)
@@ -158,29 +162,40 @@ def build_skinner(model: SMPLModel, shape: jnp.ndarray, init_pose: np.ndarray,
 
     Returns (Skinner, tmp_body_verts (V,3), tmp_body_faces (F,3) np.int32).
     Parity: model/Deformer.py:286-295 (adaptive bbox = A-pose verts ± margin).
+    The whole device-side build runs as two jitted programs (eager dispatch
+    over a remote TPU is pathological — 7.7 ms/op measured).
     """
     from .smpl import smpl_forward
 
-    joints = shaped_verts_and_joints(model, shape.reshape(1, -1))[1][0]
-    verts, _, Rs = smpl_forward(model, shape.reshape(1, -1),
-                                jnp.asarray(init_pose).reshape(1, 24, 3))
-    verts = verts[0]
+    init_pose_j = jnp.asarray(init_pose).reshape(1, 24, 3)
+    parents = model.parents
+
+    @jax.jit
+    def _fwd(shape_):
+        joints = shaped_verts_and_joints(model, shape_)[1][0]
+        verts = smpl_forward(model, shape_, init_pose_j)[0][0]
+        # init-pose inverse: accumulate FK of the A-pose, invert each joint
+        init_R = batch_rodrigues(init_pose_j.reshape(-1, 3)).reshape(24, 3, 3)
+        Rs_acc = [init_R[0]]
+        Ts_acc = [joints[0]]
+        for i in range(1, 24):
+            p = int(parents[i])
+            j_rel = joints[i] - joints[p]
+            Rs_acc.append(Rs_acc[p] @ init_R[i])
+            Ts_acc.append(Rs_acc[p] @ j_rel + Ts_acc[p])
+        inv = rigid_inverse_homo(jnp.stack(Rs_acc), jnp.stack(Ts_acc))
+        return verts, joints, inv
+
+    verts, joints, inv = _fwd(shape.reshape(1, -1))
     if b_min is None or b_max is None:
         m = np.asarray(margin, np.float32)
         v = np.asarray(verts)
         b_min = v.min(0) - m
         b_max = v.max(0) + m
-    ws = compute_lbs_weight_field(b_min, b_max, resolution, verts, model.weights)
-    # init-pose inverse: accumulate FK of the A-pose then invert each joint
-    init_R = batch_rodrigues(jnp.asarray(init_pose).reshape(-1, 3)).reshape(24, 3, 3)
-    Rs_acc = [init_R[0]]
-    Ts_acc = [joints[0]]
-    for i in range(1, 24):
-        p = int(SMPL_parents_of(model)[i])
-        j_rel = joints[i] - joints[p]
-        Rs_acc.append(Rs_acc[p] @ init_R[i])
-        Ts_acc.append(Rs_acc[p] @ j_rel + Ts_acc[p])
-    inv = rigid_inverse_homo(jnp.stack(Rs_acc), jnp.stack(Ts_acc))
+    ws = compute_lbs_weight_field(
+        jnp.asarray(b_min, jnp.float32), jnp.asarray(b_max, jnp.float32),
+        resolution=tuple(int(r) for r in resolution), smpl_verts=verts,
+        smpl_ws=model.weights)
     skinner = Skinner(
         ws=ws,
         b_min=jnp.asarray(b_min, jnp.float32).reshape(3),
