@@ -915,4 +915,6 @@ def build_synthetic_bench_step(sample_rays: int = 6144, H: int = 512,
         state, info = step(*a)
         return info["loss"]
 
+    run.step = step
+    run.trainer = tr
     return run, args
