@@ -1,0 +1,67 @@
+"""Checkpoint round-trip + inference smoke on the synthetic scene."""
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from selfreconcode_tpu.engine.trainer import build_synthetic_trainer
+from selfreconcode_tpu.engine.checkpoint import save_checkpoint, load_checkpoint
+from selfreconcode_tpu.engine.inference import make_infer_fn
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ck"))
+    tr, ds = build_synthetic_trainer(root, n_frames=8, H=48, W=48)
+    tr.mc_cap_floor = 4096
+    tr.set_stage("coarse")
+    tr.override_stage(sample_pix=32, eik_tmp=128, vcap=4096, fcap=8192,
+                      ecap=16384, surf_iters=3)
+    tr.initialize_sdf(30)
+    fids = np.array([0, 1, 2])
+    tr.train_step(fids, ds.batch(fids), 1e-4, jax.random.PRNGKey(0))
+    return tr, ds, root
+
+
+def test_checkpoint_roundtrip(trained):
+    tr, ds, root = trained
+    path = osp.join(root, "ck.pkl")
+    save_checkpoint(path, tr, epoch=3)
+    p_before = jax.tree_util.tree_leaves(tr.state.params)[0].copy()
+    v_before = np.asarray(tr.state.tmp.verts)
+    ot_before = tr.opt_times
+    # clobber, then restore
+    tr.state = tr.state._replace(
+        params=jax.tree_util.tree_map(lambda x: x * 0.0, tr.state.params))
+    epoch = load_checkpoint(path, tr)
+    assert epoch == 3
+    assert tr.opt_times == ot_before
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(tr.state.params)[0]),
+        np.asarray(p_before))
+    np.testing.assert_array_equal(np.asarray(tr.state.tmp.verts), v_before)
+    # training continues after restore
+    fids = np.array([3, 4, 5])
+    info = tr.train_step(fids, ds.batch(fids), 1e-4, jax.random.PRNGKey(1))
+    assert np.isfinite(info["loss"])
+
+
+def test_infer_frame_outputs(trained):
+    tr, ds, root = trained
+    infer = make_infer_fn(tr, footprint=8)
+    fd = ds.frame_data(0)
+    out = infer(tr.state.params, tr.state.bank, tr.state.tmp,
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(fd["mask"].astype(np.float32)))
+    H, W = ds.H, ds.W
+    assert out["mesh_img"].shape == (H, W, 3)
+    assert out["def1_img"].shape == (H, W, 3)
+    assert out["color_img"].shape == (H, W, 3)
+    assert np.isfinite(float(out["mask_err"]))
+    assert 0.0 <= float(out["mask_err"]) <= 1.0
+    # the mesh renders something (hit pixels exist) and shading is in range
+    assert int(np.asarray(out["hit"]).sum()) > 10
+    img = np.asarray(out["mesh_img"])
+    assert img.min() >= 0.0 and img.max() <= 1.0
