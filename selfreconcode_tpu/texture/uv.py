@@ -1,0 +1,117 @@
+"""UV texture baking from posed renders.
+
+Parity target: texture_mesh_prepare.py + texture_mesh_extract.py of the
+reference.  The reference extracts textures inside the VideoAvatar/opendr
+environment (visibility render -> Isomapper unwrap -> best-normal 50-slot
+aggregation -> median -> Telea inpaint).  Here the whole pipeline is
+self-contained: our mesh rasterizer provides visibility + barycentrics, the
+texel aggregation is a view-angle-weighted scatter (weight = (n.v)^p sharply
+favouring frontal views — a streaming analogue of the reference's
+keep-best-50 + median), and holes are Telea-inpainted with cv2.
+
+Deviation note: the reference's per-texel median over the 50 best-normal
+samples is replaced by a weighted mean with p=8; memory stays O(texture)
+instead of O(texture x 50) and the result is visually equivalent for diffuse
+clothing (the intended use).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..render.camera import Camera, cam_pos
+from ..ops.rasterize import rasterize_mesh
+from ..utils.meshops import vertex_normals
+
+
+def load_obj_with_uv(path: str):
+    """Minimal OBJ parser for `v`, `vt`, and `f v/vt ...` (the uvmap.obj the
+    reference asks the user to produce, texture_mesh_prepare.py:30-41)."""
+    verts, uvs, faces_v, faces_vt = [], [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "vt":
+                uvs.append([float(x) for x in parts[1:3]])
+            elif parts[0] == "f":
+                vi, ti = [], []
+                for p in parts[1:4]:
+                    comps = p.split("/")
+                    vi.append(int(comps[0]) - 1)
+                    ti.append(int(comps[1]) - 1 if len(comps) > 1 and comps[1]
+                              else int(comps[0]) - 1)
+                faces_v.append(vi)
+                faces_vt.append(ti)
+    return (np.asarray(verts, np.float32), np.asarray(uvs, np.float32),
+            np.asarray(faces_v, np.int32), np.asarray(faces_vt, np.int32))
+
+
+def bake_texture(cam: Camera, def_verts_per_frame, images, faces_v, faces_vt,
+                 uvs, tex_size: int = 1024, weight_pow: float = 8.0,
+                 footprint: int = 8):
+    """Accumulate a UV texture from posed frames.
+
+    def_verts_per_frame: list of (V,3) np arrays (deformed template verts);
+    images: list of (H,W,3) float images in [0,1] (same camera).
+    Returns (texture (tex,tex,3) float in [0,1], weight (tex,tex)).
+    """
+    acc = np.zeros((tex_size, tex_size, 3), np.float64)
+    wacc = np.zeros((tex_size, tex_size), np.float64)
+    faces_v_j = jnp.asarray(faces_v)
+    fv_valid = jnp.ones((faces_v.shape[0],), bool)
+
+    @jax.jit
+    def frame_pass(verts, img):
+        frags = rasterize_mesh(cam, verts, faces_v_j, fv_valid, footprint)
+        hit = frags.pix_to_face >= 0
+        f = jnp.maximum(frags.pix_to_face, 0)
+        vn = vertex_normals(verts, faces_v_j, fv_valid)
+        tri = faces_v_j[f]
+        n = (vn[tri] * frags.bary[..., :, None]).sum(-2)
+        n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6,
+                         None)
+        p = (verts[tri] * frags.bary[..., :, None]).sum(-2)
+        v = cam_pos(cam) - p
+        v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6,
+                         None)
+        w = jnp.clip((n * v).sum(-1), 0.0, 1.0) ** weight_pow
+        w = jnp.where(hit, w, 0.0)
+        return f, frags.bary, w
+
+    uvs_np = np.asarray(uvs)
+    for verts, img in zip(def_verts_per_frame, images):
+        f, bary, w = frame_pass(jnp.asarray(verts), jnp.asarray(img))
+        f = np.asarray(f)
+        bary = np.asarray(bary)
+        w = np.asarray(w)
+        sel = w > 0
+        fs = f[sel]
+        uv_tri = uvs_np[faces_vt[fs]]             # (M,3,2)
+        uv = (uv_tri * bary[sel][..., None]).sum(-2)  # (M,2)
+        tx = np.clip((uv[:, 0] * (tex_size - 1)).round().astype(np.int64),
+                     0, tex_size - 1)
+        ty = np.clip(((1.0 - uv[:, 1]) * (tex_size - 1)).round().astype(
+            np.int64), 0, tex_size - 1)
+        cols = img[sel]
+        ws = w[sel]
+        np.add.at(acc, (ty, tx), cols * ws[:, None])
+        np.add.at(wacc, (ty, tx), ws)
+
+    tex = acc / np.clip(wacc[..., None], 1e-8, None)
+    return tex.astype(np.float32), wacc.astype(np.float32)
+
+
+def inpaint_texture(tex: np.ndarray, weight: np.ndarray,
+                    min_weight: float = 1e-6) -> np.ndarray:
+    """Telea-inpaint texels no frame observed (texture_mesh_extract.py:150)."""
+    import cv2
+    img8 = np.clip(tex * 255.0, 0, 255).astype(np.uint8)
+    hole = (weight <= min_weight).astype(np.uint8)
+    return cv2.inpaint(img8, hole, 3, cv2.INPAINT_TELEA)
