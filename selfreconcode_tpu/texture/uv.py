@@ -81,7 +81,9 @@ def bake_texture(cam: Camera, def_verts_per_frame, images, faces_v, faces_vt,
         v = cam_pos(cam) - p
         v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6,
                          None)
-        w = jnp.clip((n * v).sum(-1), 0.0, 1.0) ** weight_pow
+        # |n.v|: MC meshes are consistently oriented but sign depends on the
+        # iso convention; visibility is already z-buffer-resolved
+        w = jnp.clip(jnp.abs((n * v).sum(-1)), 0.0, 1.0) ** weight_pow
         w = jnp.where(hit, w, 0.0)
         return f, frags.bary, w
 
