@@ -40,12 +40,26 @@ except ImportError:  # pragma: no cover
 
 class SceneDataset:
     def __init__(self, data_root: str, conds_lens: Optional[Dict[str, int]] = None,
-                 cache_images: bool = True, seed: int = 0):
+                 cache_images: bool = True, seed: int = 0,
+                 use_native: bool = True, n_threads: int = 4):
         self.root = data_root
         self._read_meta()
         self.cache_images = cache_images
         self._cache: Dict[int, dict] = {}
         self._lock = threading.Lock()
+        self._native = None
+        if use_native:
+            from .native_loader import NativeLoader
+            normal_paths = None
+            if self.has_normals:
+                normal_paths = [
+                    n.replace("/imgs/", "/normals/")[:-3] + "png"
+                    for n in self.img_ns]
+                if not all(osp.isfile(p) for p in normal_paths):
+                    normal_paths = None
+            self._native = NativeLoader.create(
+                self.img_ns, self.mask_ns, normal_paths, self.H, self.W,
+                n_threads=n_threads, cache=cache_images)
 
         rng = np.random.default_rng(seed)
         self.conds: Dict[str, np.ndarray] = {}
@@ -123,6 +137,14 @@ class SceneDataset:
         imgs as float32 in [-1,1] (BGR, parity dataset/dataset.py:88), masks
         float32 {0,1}, normals float32 (zeros when absent).
         """
+        if self._native is not None:
+            raw = self._native.batch(fids)
+            out = {"img": (raw["img"].astype(np.float32) / 255.0 - 0.5) * 2.0,
+                   "mask": raw["mask"].astype(np.float32)}
+            if "normal" in raw:
+                out["normal"] = (2.0 * raw["normal"].astype(np.float32)
+                                 / 255.0 - 1.0)
+            return out
         frames = [self.frame_data(int(f)) for f in fids]
         imgs = np.stack([(f["img"].astype(np.float32) / 255.0 - 0.5) * 2.0
                          for f in frames])
