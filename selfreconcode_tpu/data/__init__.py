@@ -1,2 +1,3 @@
 from .dataset import (  # noqa: F401
-    SceneDataset, RandomSampler, batch_iterator, make_synthetic_scene)
+    SceneDataset, RandomSampler, ClipSampler, batch_iterator,
+    make_synthetic_scene)

@@ -209,6 +209,32 @@ class SceneDataset:
         return starts, fids - starts
 
 
+class ClipSampler:
+    """Contiguous-clip sampler, parity dataset/dataset.py:196-216: splits the
+    sequence into n clips of clip_size starting at a random offset, shuffles
+    clip order (frames inside a clip stay contiguous)."""
+
+    def __init__(self, length: int, clip_size: int, shuffle: bool = True,
+                 seed: int = 0):
+        self.length = length
+        self.clip_size = clip_size
+        self.shuffle = shuffle
+        self.n = length // clip_size
+        if length == self.n * clip_size:
+            self.n -= 1
+        self.start = length - self.n * clip_size
+        self._rng = np.random.default_rng(seed)
+
+    def epoch_ids(self) -> np.ndarray:
+        start = (int(self._rng.integers(0, self.start + 1))
+                 if self.shuffle else 0)
+        out = np.arange(start, start + self.n * self.clip_size).reshape(
+            self.n, self.clip_size)
+        if self.shuffle:
+            out = out[self._rng.permutation(self.n)]
+        return out.reshape(-1)
+
+
 class RandomSampler:
     """Frame-id sampler, parity dataset/dataset.py:218-237 (intersect=1)."""
 
