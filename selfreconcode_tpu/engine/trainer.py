@@ -814,6 +814,50 @@ class Trainer:
                 self.stage_cfg, self.dctnull, self.ang_thresh, self.optimizer)
         return self._step_fn
 
+    # -- debug artifacts (parity: save_debug, model/network.py:374-447) -----
+    def save_debug(self, debug_root: str, fids, batch):
+        """Dump template + per-frame deformed meshes + splat masks as files.
+        Host-side, called at remesh ticks by the CLI when draw is enabled."""
+        import jax
+        os.makedirs(debug_root, exist_ok=True)
+        tmp = self.state.tmp
+        vv = np.asarray(tmp.vert_valid)
+        fv = np.asarray(tmp.face_valid)
+        verts = np.asarray(tmp.verts)[vv]
+        faces = np.asarray(tmp.faces)[fv]
+        _export_mesh(osp.join(debug_root, "tmp.ply"), verts, faces)
+        cfg = self.stage_cfg
+        bank = self.state.bank
+        poses = bank["poses"][jnp.asarray(fids)]
+        trans = bank["trans"][jnp.asarray(fids)]
+        dcond = bank["cond_deformer"][jnp.asarray(fids)]
+        N = len(fids)
+        flat = jnp.tile(tmp.verts, (N, 1))
+        binds = jnp.repeat(jnp.arange(N), tmp.verts.shape[0])
+        def_flat, off = deformer_apply(
+            self.state.params["trans"], self.deformer, flat, binds, dcond,
+            poses, trans, 1.0)
+        dv = np.asarray(def_flat).reshape(N, -1, 3)
+        offs = np.asarray(off).reshape(N, -1, 3)
+        for i in range(N):
+            _export_mesh(osp.join(debug_root, f"def_{i}.ply"), dv[i][vv],
+                         faces)
+            _export_mesh(osp.join(debug_root, f"def1_{i}.ply"),
+                         (np.asarray(tmp.verts) + offs[i])[vv], faces)
+        try:
+            import cv2
+            cam = self._host_camera()
+            for i in range(N):
+                m = np.asarray(splat_mask(
+                    cam, jnp.asarray(dv[i]), tmp.vert_valid, cfg.radius))
+                cv2.imwrite(osp.join(debug_root, f"m{i}.png"),
+                            (np.clip(m, 0, 1) * 255).astype(np.uint8))
+                if batch is not None:
+                    cv2.imwrite(osp.join(debug_root, f"gm{i}.png"),
+                                (batch["mask"][i] * 255).astype(np.uint8))
+        except ImportError:
+            pass
+
     # -- one optimization step ---------------------------------------------
     def train_step(self, fids: np.ndarray, batch: dict, lr: float, key):
         cfg = self.stage_cfg
@@ -844,6 +888,14 @@ class Trainer:
 def dataclass_replace(dc, **kw):
     import dataclasses
     return dataclasses.replace(dc, **kw)
+
+
+def _export_mesh(path, verts, faces):
+    try:
+        import trimesh
+        trimesh.Trimesh(verts, faces, process=False).export(path)
+    except ImportError:
+        np.savez(path + ".npz", verts=verts, faces=faces)
 
 
 def _round_up(x: int, m: int) -> int:
