@@ -95,6 +95,15 @@ def main(argv=None):
         iters = abs(initial_iters)
         info = trainer.initialize_sdf(iters, cache_path=sdf_cache)
         print("initial sdf:", info)
+        if not info.get("cached"):
+            # export the initial iso-surface for inspection (train.py:129-132)
+            from ..engine.trainer import _export_mesh
+            verts, faces, nv, nf = trainer.discretize_sdf(
+                0.0, resolutions=RESOLUTIONS["coarse"])
+            _export_mesh(osp.join(
+                data_root,
+                f"initial_sdf_idr_{multires}_{pose_type}.ply"), verts, faces)
+            print(f"initial mesh: {nv} verts")
 
     if trainer.stage_cfg is None:
         trainer.set_stage("coarse")
