@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.sdf import SDFNet, sdf_value_only
+from ..models.sdf import SDFNet, sdf_value_only, sdf_grad
 from ..utils.sampling import sample_points
 
 
@@ -41,10 +41,10 @@ def igr_pretrain(key, sdf_params, net: SDFNet, surface_pts, surface_normals,
 
     def loss_fn(params, mnfld, normals, nonmnfld):
         mnfld_pred = sdf_value_only(params, net, mnfld, 0.0)
-        grad_m = jax.grad(
-            lambda p: sdf_value_only(params, net, p, 0.0).sum())(mnfld)
-        grad_n = jax.grad(
-            lambda p: sdf_value_only(params, net, p, 0.0).sum())(nonmnfld)
+        # forward-mode point gradients: re-differentiated by the loss (the
+        # TPU compiler SIGILLs on reverse-over-reverse, see sdf_grad)
+        grad_m = sdf_grad(params, net, mnfld, 0.0)
+        grad_n = sdf_grad(params, net, nonmnfld, 0.0)
         mnfld_loss = jnp.abs(mnfld_pred).mean()
         eik = ((jnp.linalg.norm(grad_n, axis=-1) - 1.0) ** 2).mean()
         loss = mnfld_loss + 0.1 * eik

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.sdf import SDFNet, init_sdf_params, sdf_apply, sdf_value_only
+from ..models.sdf import (SDFNet, init_sdf_params, sdf_apply, sdf_value_only,
+                          sdf_grad)
 from ..models.translator import (TranslatorNet, init_translator_params,
                                  translator_apply)
 from ..models.render import RenderNet, init_render_params, render_apply
@@ -285,8 +286,8 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
         tmp_sub = new_verts_sg[tidx]
         seeds = jnp.concatenate([jax.lax.stop_gradient(pts), tmp_sub], axis=0)
         nonmnfld = sample_points(k2, seeds, 1.8, 0.01)
-        g_eik = jax.grad(lambda p: sdf_value_only(
-            params["sdf"], sdf_net, p, r_sdf).sum())(nonmnfld)
+        # forward-mode: this gradient is differentiated again (see sdf_grad)
+        g_eik = sdf_grad(params["sdf"], sdf_net, nonmnfld, r_sdf)
         grad_loss = ((jnp.linalg.norm(g_eik, axis=-1) - 1.0) ** 2).mean()
         info["grad_loss"] = grad_loss
         total = grad_loss * w.grad_weight
@@ -349,9 +350,7 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
 
         # surface color / normal losses at converged rays (network.py:598-639)
         sdf_v, feat = sdf_apply(params["sdf"], sdf_net, pts, r_sdf)
-        nx = jax.grad(lambda p: sdf_value_only(
-            params["sdf"], sdf_net, p, r_sdf).sum())(pts)
-        nx = normalize(nx)
+        nx = normalize(sdf_grad(params["sdf"], sdf_net, pts, r_sdf))
         jac_d, dpts = deformer_jacobian(params["trans"], deformer, pts,
                                         ray_binds, dcond, poses, trans, r_def)
         jinv, inv_ok = inv3x3(jac_d)

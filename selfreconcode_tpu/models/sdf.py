@@ -104,15 +104,29 @@ def sdf_value_only(params, net: SDFNet, pts, ratio=None):
     return sdf_apply(params, net, pts, ratio)[0]
 
 
-def sdf_value_and_grad(params, net: SDFNet, pts, ratio=None):
-    """Returns (sdf (...), grad (..., 3)) via reverse-mode on the scalar sum.
+def sdf_grad(params, net: SDFNet, pts, ratio=None):
+    """Point gradient (..., 3) of the SDF via FORWARD mode (3 JVPs).
 
-    Equivalent to ImplicitNetwork.gradient (model/network.py:102-114) but
-    without graph bookkeeping; arbitrarily re-differentiable.
+    Equivalent to ImplicitNetwork.gradient (model/network.py:102-114).  A 3-D
+    input makes forward mode the natural choice, and it matters doubly here:
+    the XLA TPU compiler SIGILLs (priority-fusion cost model) on
+    reverse-over-reverse graphs through this MLP, while reverse-over-forward
+    compiles — so any gradient that is differentiated AGAIN in a loss must be
+    this one.
     """
-    def scalar_fn(p):
-        return sdf_value_only(params, net, p, ratio).sum()
+    def f(q):
+        return sdf_value_only(params, net, q, ratio)
 
+    cols = []
+    for i in range(3):
+        e = jnp.zeros_like(pts).at[..., i].set(1.0)
+        _, col = jax.jvp(f, (pts,), (e,))
+        cols.append(col)
+    return jnp.stack(cols, axis=-1)
+
+
+def sdf_value_and_grad(params, net: SDFNet, pts, ratio=None):
+    """Returns (sdf (...), grad (..., 3)); grad in forward mode (see
+    sdf_grad)."""
     sdf = sdf_value_only(params, net, pts, ratio)
-    grad = jax.grad(scalar_fn)(pts)
-    return sdf, grad
+    return sdf, sdf_grad(params, net, pts, ratio)

@@ -44,14 +44,13 @@ def make_train_step_sharded(mesh: Mesh, sdf_net, render_net, deformer,
     update replicated on all devices.  This is the layout `dryrun_multichip`
     validates; the full trainer reuses `shard_rays`/`psum_loss_grads`.
     """
-    from ..models.sdf import sdf_apply
+    from ..models.sdf import sdf_apply, sdf_grad
     from ..models.deformer import deformer_apply
     from ..models.render import render_apply
 
     def local_loss(params, bank, pts, batch_inds, rays, gt_colors):
         sdf, feat = sdf_apply(params["sdf"], sdf_net, pts, 1.0)
-        grad = jax.grad(
-            lambda p: sdf_apply(params["sdf"], sdf_net, p, 1.0)[0].sum())(pts)
+        grad = sdf_grad(params["sdf"], sdf_net, pts, 1.0)
         nx = grad / jnp.clip(jnp.linalg.norm(grad, axis=-1, keepdims=True),
                              1e-12, None)
         d, off = deformer_apply(params["trans"], deformer, pts, batch_inds,
