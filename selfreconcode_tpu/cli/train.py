@@ -119,6 +119,8 @@ def main(argv=None):
     shuffle = conf.get_bool("train.shuffle")
     sampler = RandomSampler(dataset.frame_num, 1, shuffle)
     key = jax.random.PRNGKey(0)
+    in_fine = False
+    debug_root = osp.join(save_root, "debug")
 
     for epoch in range(start_epoch, nepoch + 1):
         if medium_at >= 0 and epoch == medium_at:
@@ -128,6 +130,7 @@ def main(argv=None):
         if fine_at >= 0 and epoch == fine_at:
             save_checkpoint(osp.join(save_root, "medium.pkl"), trainer, epoch)
             trainer.set_stage("fine")
+            in_fine = True
             print("enable fine hierarchical")
         lr = base_lr * (factor ** sum(1 for m in milestones if epoch >= m))
         bs = trainer.stage_cfg.N
@@ -153,6 +156,11 @@ def main(argv=None):
                     f"invInfo({P},{int(info.get('inv_ok', 0))})\t"
                     f"remesh: {info['remesh']:.3f}\t{dt:.2f}s/it")
             print(out, flush=True)
+            # debug artifact dumps at remesh ticks in the fine stage
+            # (parity: optNet.draw, train.py:186-187 + save_debug)
+            if (in_fine and trainer.forward_time
+                    % trainer.stage_cfg.remesh_intersect == 1):
+                trainer.save_debug(debug_root, np.asarray(fids), batch)
         print(f"epoch {epoch} took {time.time() - t_epoch:.1f}s", flush=True)
         save_checkpoint(osp.join(save_root, "latest.pkl"), trainer, epoch + 1)
 

@@ -125,6 +125,20 @@ def sparse_sdf_grid(query_fn: Callable[[jnp.ndarray], jnp.ndarray],
     return vol
 
 
+def interp2x_boundary3d(vol: jnp.ndarray, balance: float, dilate: int = 1):
+    """Fused 2x trilinear upsample + sign-boundary flags.
+
+    Parity target: MCAcc/cuda/interp2x_boundary3d*.cu — the reference's
+    optional CUDA fast path for Seg3dLossless (use_cuda_impl=True; every
+    shipped call site disables it, SURVEY §2.2).  Returns
+    (up (2n-1,...), is_boundary mask).  One fused jnp op here — XLA fuses the
+    upsample and the min/max sign test into a single kernel, which is exactly
+    what the hand-written CUDA achieved.
+    """
+    up = _upsample2(vol)
+    return up, _boundary_mask(up, balance, dilate)
+
+
 def default_caps(resolutions) -> list:
     """Heuristic static budgets: ~surface-area scaling per level, padded 4x."""
     caps = []
