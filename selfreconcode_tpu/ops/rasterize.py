@@ -8,25 +8,31 @@ external build item, SURVEY §2.3):
   with unit features and weights w = 1 - d^2/r^2 (model/CameraMine.py:285-304,
   model/network.py:495-498).  With unit features, alpha-compositing K
   z-sorted splats equals 1 - prod_k (1 - w_k), which is *order-independent* —
-  so instead of a z-sorted top-50 buffer we scatter-accumulate
-  log(1 - w) over a fixed per-point pixel footprint and exponentiate.
-  (All covering points contribute, not just the nearest 50 — a strict
-  refinement of the reference, and exactly differentiable.)
+  so instead of a z-sorted top-50 buffer we accumulate log(1 - w) and
+  exponentiate.  (All covering points contribute, not just the nearest 50 —
+  a strict refinement of the reference, and exactly differentiable.)
 
 * `rasterize_mesh` — non-differentiable fragments (pix_to_face, perspective-
   correct barycentrics, zbuf) with faces_per_pixel=1.
   Parity: pytorch3d MeshRasterizer as consumed by utils/FindSurfacePs.py:5-29
   (the contract is "nearest face + barys per pixel", not general rendering).
-  Deterministic two-pass scatter z-buffer: pass 1 scatter-min depth,
-  pass 2 scatter-min face-id among exact-depth winners, then barys are
-  recomputed for the winner.  This is the TPU replacement for the CUDA
-  atomic z-buffer race the reference inherits from pytorch3d.
 
-Both rasterizers run per frame; the training step vmaps/loops over the small
-frame batch (<= 3).
+TPU-first formulation (v2): XLA TPU scatters serialize (~1e5 elem/ms
+measured), so both rasterizers are GATHER-ONLY.  Primitives are binned into
+image cells with one lax.sort (ops/binning.py); every pixel then evaluates
+only its cell's fixed-capacity candidate list with vectorized gathers and a
+masked min/sum reduction.  The splat's backward is a jax.custom_vjp that
+gathers the cotangent image at each point's k x k footprint — also
+scatter-free.  MC triangles and splat radii are bounded (<= one voxel /
+few px), so a primitive covers at most a 2x2 cell block by construction.
+
+The original scatter-based implementations are kept as
+`rasterize_mesh_scatter` / `splat_mask_scatter` as executable references for
+the parity tests.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -34,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..render.camera import Camera, transform_points_screen
+from .binning import build_cell_table, bbox_cell_entries
 
 
 class Fragments(NamedTuple):
@@ -42,17 +49,243 @@ class Fragments(NamedTuple):
     zbuf: jnp.ndarray         # (H, W) depth (+inf empty)
 
 
+def _cell_geometry(H: int, W: int, cell_size: int):
+    ncy = -(-H // cell_size)
+    ncx = -(-W // cell_size)
+    return ncy, ncx, ncy * cell_size, ncx * cell_size
+
+
+# ---------------------------------------------------------------------------
+# Mesh fragments (gather-only)
+# ---------------------------------------------------------------------------
+
+def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
+                   face_valid: jnp.ndarray, footprint: int = 10,
+                   image_scale: int = 1, cell_cap: int = 48) -> Fragments:
+    """Nearest-face fragments at (H/s, W/s).  Non-differentiable by design
+    (the reference also rasterizes under no_grad, model/network.py:491-493).
+
+    footprint: upper bound on a triangle's projected bbox extent in pixels
+    (MC triangles never exceed one voxel, so the caller derives this from the
+    voxel size); it doubles as the cell size for binning.
+    """
+    H, W = cam.H // image_scale, cam.W // image_scale
+    cs = max(8, int(footprint))
+    ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
+
+    screen = transform_points_screen(cam, verts)
+    sxy = screen[:, :2] / image_scale
+    sz = screen[:, 2]
+    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+    p0, p1, p2 = sxy[f0], sxy[f1], sxy[f2]       # (F,2)
+    z0, z1, z2 = sz[f0], sz[f1], sz[f2]
+    front = (z0 > 0) & (z1 > 0) & (z2 > 0) & face_valid
+
+    bb_min_x = jnp.minimum(jnp.minimum(p0[:, 0], p1[:, 0]), p2[:, 0])
+    bb_max_x = jnp.maximum(jnp.maximum(p0[:, 0], p1[:, 0]), p2[:, 0])
+    bb_min_y = jnp.minimum(jnp.minimum(p0[:, 1], p1[:, 1]), p2[:, 1])
+    bb_max_y = jnp.maximum(jnp.maximum(p0[:, 1], p1[:, 1]), p2[:, 1])
+    on_screen = (front & (bb_max_x >= 0) & (bb_min_x <= W - 1)
+                 & (bb_max_y >= 0) & (bb_min_y <= H - 1))
+
+    cells, evalid, prims = bbox_cell_entries(
+        bb_min_x, bb_min_y, bb_max_x, bb_max_y, on_screen, cs, ncx, ncy)
+    table, counts, _ = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
+    # entry index -> face id (entries enumerate faces 4x)
+    F = faces.shape[0]
+    cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)  # (C,cap)
+    cvalid = cand >= 0
+    cf = jnp.maximum(cand, 0)
+
+    # gather per-candidate face data: (C, cap, ...)
+    q0, q1, q2 = p0[cf], p1[cf], p2[cf]
+    y0, y1, y2 = z0[cf], z1[cf], z2[cf]
+
+    # pixel coords per cell: (C, cs*cs)
+    cell_ids = jnp.arange(ncy * ncx)
+    cell_x0 = (cell_ids % ncx) * cs
+    cell_y0 = (cell_ids // ncx) * cs
+    lx = jnp.arange(cs)
+    px = (cell_x0[:, None] + jnp.tile(lx, cs)[None, :]).astype(verts.dtype)
+    py = (cell_y0[:, None] + jnp.repeat(lx, cs)[None, :]).astype(verts.dtype)
+
+    def edge(ax, ay, bx, by, X, Y):
+        return ((bx - ax)[:, :, None] * (Y - ay[:, :, None])
+                - (by - ay)[:, :, None] * (X - ax[:, :, None]))
+
+    X = px[:, None, :]                              # (C,1,P)
+    Y = py[:, None, :]
+    area = ((q1[..., 0] - q0[..., 0]) * (q2[..., 1] - q0[..., 1])
+            - (q1[..., 1] - q0[..., 1]) * (q2[..., 0] - q0[..., 0]))
+    w0 = edge(q1[..., 0], q1[..., 1], q2[..., 0], q2[..., 1], X, Y)
+    w1 = edge(q2[..., 0], q2[..., 1], q0[..., 0], q0[..., 1], X, Y)
+    w2 = edge(q0[..., 0], q0[..., 1], q1[..., 0], q1[..., 1], X, Y)
+    denom = jnp.where(jnp.abs(area) > 1e-12, area, 1.0)[:, :, None]
+    b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
+    # >= so shared-edge pixels belong to both faces (min-z reduce picks one
+    # deterministically); strict > leaves holes along interior edges
+    inside = ((b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+              & (jnp.abs(area) > 1e-12)[:, :, None] & cvalid[:, :, None])
+    inv_z = (b0 / y0[:, :, None] + b1 / y1[:, :, None] + b2 / y2[:, :, None])
+    zpix = 1.0 / jnp.clip(inv_z, 1e-12, None)
+    big = jnp.asarray(jnp.inf, verts.dtype)
+    zmasked = jnp.where(inside, zpix, big)          # (C,cap,P)
+
+    slot = jnp.argmin(zmasked, axis=1)               # (C,P)
+    zmin = jnp.take_along_axis(zmasked, slot[:, None, :], axis=1)[:, 0, :]
+    hit = jnp.isfinite(zmin)
+    face_win = jnp.take_along_axis(cand, slot, axis=1)   # (C,P)
+    face_win = jnp.where(hit, face_win, -1)
+
+    def take(b):  # (C,cap,P) selected at the winning slot -> (C,P)
+        return jnp.take_along_axis(b, slot[:, None, :], axis=1)[:, 0, :]
+
+    c0, c1, c2 = take(b0), take(b1), take(b2)
+    ty0 = jnp.take_along_axis(y0, slot, axis=1)
+    ty1 = jnp.take_along_axis(y1, slot, axis=1)
+    ty2 = jnp.take_along_axis(y2, slot, axis=1)
+    # perspective correction: b_i ∝ c_i / z_i
+    t0 = c0 / jnp.clip(ty0, 1e-12, None)
+    t1 = c1 / jnp.clip(ty1, 1e-12, None)
+    t2 = c2 / jnp.clip(ty2, 1e-12, None)
+    ts = jnp.clip(t0 + t1 + t2, 1e-12, None)
+    bary = jnp.stack([t0 / ts, t1 / ts, t2 / ts], axis=-1)
+    bary = jnp.where(hit[..., None], bary, 0.0)
+
+    def to_image(flat, fill):
+        img = flat.reshape(ncy, ncx, cs, cs, *flat.shape[2:])
+        img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp, *flat.shape[2:])
+        return img[:H, :W]
+
+    return Fragments(
+        pix_to_face=to_image(face_win, -1).astype(jnp.int32),
+        bary=to_image(bary, 0.0),
+        zbuf=to_image(jnp.where(hit, zmin, big), big),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-splat soft mask (gather-only, custom_vjp)
+# ---------------------------------------------------------------------------
+
 def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
                radius_ndc: float, footprint: int = 9,
-               image_scale: int = 1) -> jnp.ndarray:
+               image_scale: int = 1, cell_cap: int = 96) -> jnp.ndarray:
     """Soft mask (H/s, W/s) in [0, 1] from world-space points.
 
     radius_ndc: splat radius in NDC units (the reference's
-    point_render.radius config value).  image_scale s renders at reduced
-    resolution (pixel centers move accordingly) for cheap coarse stages.
+    point_render.radius config value).  Differentiable w.r.t. points and the
+    camera; forward is a binned per-pixel gather, backward gathers the
+    cotangent at each point's k x k footprint (both scatter-free).
     """
     H, W = cam.H // image_scale, cam.W // image_scale
-    screen = transform_points_screen(cam, points)  # (N,3) col,row,z full-res
+    r_pix = radius_ndc * (cam.W / image_scale) / 2.0
+    k = int(footprint)
+    screen = transform_points_screen(cam, points)
+    col = screen[:, 0] / image_scale
+    row = screen[:, 1] / image_scale
+    z = screen[:, 2]
+    return _splat_core(col, row, z, point_valid, float(r_pix), H, W, k,
+                       cell_cap)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _splat_core(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
+    mask, _ = _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k,
+                              cell_cap)
+    return mask
+
+
+def _log_term(dc, dr, r_pix):
+    d2 = dc * dc + dr * dr
+    w = 1.0 - d2 / (r_pix * r_pix)
+    w = jnp.clip(w, 0.0, 1.0 - 1e-5)
+    return jnp.log1p(-w)  # 0 where w <= 0
+
+
+def _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
+    cs = max(8, k)
+    ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
+    ok = point_valid & (z > 0.0)
+    half = r_pix
+    cells, evalid, prims = bbox_cell_entries(
+        col - half, row - half, col + half, row + half,
+        ok & (col + half >= 0) & (col - half <= W - 1)
+        & (row + half >= 0) & (row - half <= H - 1), cs, ncx, ncy)
+    table, _, overflow = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
+    cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)
+    cvalid = cand >= 0
+    cp = jnp.maximum(cand, 0)
+    ccol, crow = col[cp], row[cp]                   # (C,cap)
+
+    cell_ids = jnp.arange(ncy * ncx)
+    lx = jnp.arange(cs)
+    px = ((cell_ids % ncx) * cs)[:, None] + jnp.tile(lx, cs)[None, :]
+    py = ((cell_ids // ncx) * cs)[:, None] + jnp.repeat(lx, cs)[None, :]
+    dc = ccol[:, :, None] - px[:, None, :].astype(col.dtype)
+    dr = crow[:, :, None] - py[:, None, :].astype(col.dtype)
+    lt = _log_term(dc, dr, r_pix)
+    lt = jnp.where(cvalid[:, :, None], lt, 0.0)
+    acc = lt.sum(axis=1)                             # (C, P)
+    img = acc.reshape(ncy, ncx, cs, cs)
+    img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp)[:H, :W]
+    return 1.0 - jnp.exp(img), img
+
+
+def _splat_core_fwd(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
+    mask, acc_img = _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k,
+                                    cell_cap)
+    return mask, (col, row, z, point_valid, mask)
+
+
+def _splat_core_bwd(r_pix, H, W, k, cell_cap, res, g):
+    col, row, z, point_valid, mask = res
+    # dL/dacc[px] = -g[px] * exp(acc[px]) = -g[px] * (1 - mask[px])
+    cot_acc = -g * (1.0 - mask)
+    cot_pad = jnp.pad(cot_acc, ((0, k), (0, k)))
+    ok = point_valid & (z > 0.0)
+    half = (k - 1) // 2
+    base_c = jnp.floor(col) - half
+    base_r = jnp.floor(row) - half
+    offs = jnp.arange(k, dtype=col.dtype)
+
+    def per_point_terms(col_, row_):
+        cand_c = base_c[:, None] + offs[None, :]     # static base: detached
+        cand_r = base_r[:, None] + offs[None, :]
+        dc = col_[:, None, None] - cand_c[:, None, :]
+        dr = row_[:, None, None] - cand_r[:, :, None]
+        lt = _log_term(dc, dr, r_pix)
+        inb = ((cand_c[:, None, :] >= 0) & (cand_c[:, None, :] <= W - 1)
+               & (cand_r[:, :, None] >= 0) & (cand_r[:, :, None] <= H - 1))
+        return jnp.where((ok[:, None, None]) & inb, lt, 0.0)
+
+    ci = jnp.clip(base_c[:, None].astype(jnp.int32)
+                  + offs[None, :].astype(jnp.int32), 0, W - 1 + k)
+    ri = jnp.clip(base_r[:, None].astype(jnp.int32)
+                  + offs[None, :].astype(jnp.int32), 0, H - 1 + k)
+    cot_pt = cot_pad[ri[:, :, None], ci[:, None, :]]  # (P,k,k)
+
+    _, vjp = jax.vjp(per_point_terms, col, row)
+    g_col, g_row = vjp(cot_pt)
+    g_z = jnp.zeros_like(z)
+    g_valid = jnp.zeros_like(point_valid)
+    return g_col, g_row, g_z, g_valid
+
+
+_splat_core.defvjp(_splat_core_fwd, _splat_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Reference scatter-based implementations (kept for parity tests)
+# ---------------------------------------------------------------------------
+
+def splat_mask_scatter(cam: Camera, points: jnp.ndarray,
+                       point_valid: jnp.ndarray, radius_ndc: float,
+                       footprint: int = 9, image_scale: int = 1
+                       ) -> jnp.ndarray:
+    """Original scatter-add formulation (slow on TPU; used in tests)."""
+    H, W = cam.H // image_scale, cam.W // image_scale
+    screen = transform_points_screen(cam, points)
     col = screen[:, 0] / image_scale
     row = screen[:, 1] / image_scale
     z = screen[:, 2]
@@ -63,15 +296,13 @@ def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
     base_c = jnp.floor(col)
     base_r = jnp.floor(row)
     offs = jnp.arange(k, dtype=jnp.float32) - half
-    # (N, k) candidate cols/rows
     cand_c = base_c[:, None] + offs[None, :]
     cand_r = base_r[:, None] + offs[None, :]
-    # (N, k, k) squared pixel distance
     dc = cand_c[:, None, :] - col[:, None, None]
     dr = cand_r[:, :, None] - row[:, None, None]
     d2 = dc * dc + dr * dr
     w = 1.0 - d2 / (r_pix * r_pix)
-    ok = (
+    okm = (
         (w > 0.0)
         & (z[:, None, None] > 0.0)
         & point_valid[:, None, None]
@@ -82,46 +313,43 @@ def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
     ci = jnp.clip(cand_c.astype(jnp.int32), 0, W - 1)
     ri = jnp.clip(cand_r.astype(jnp.int32), 0, H - 1)
     pix = ri[:, :, None] * W + ci[:, None, :]
-    pix = jnp.where(ok, pix, H * W)  # drop
+    pix = jnp.where(okm, pix, H * W)
     acc = jnp.zeros((H * W,), points.dtype)
     acc = acc.at[pix.reshape(-1)].add(
-        jnp.where(ok, log_term, 0.0).reshape(-1), mode="drop")
+        jnp.where(okm, log_term, 0.0).reshape(-1), mode="drop")
     return (1.0 - jnp.exp(acc)).reshape(H, W)
 
 
-def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
-                   face_valid: jnp.ndarray, footprint: int = 10,
-                   image_scale: int = 1) -> Fragments:
-    """Nearest-face fragments at (H/s, W/s). Non-differentiable by design
-    (the reference also rasterizes under no_grad, model/network.py:491-493).
-    """
+def rasterize_mesh_scatter(cam: Camera, verts: jnp.ndarray,
+                           faces: jnp.ndarray, face_valid: jnp.ndarray,
+                           footprint: int = 10, image_scale: int = 1
+                           ) -> Fragments:
+    """Original scatter-min z-buffer (slow on TPU; used in tests)."""
     H, W = cam.H // image_scale, cam.W // image_scale
     screen = transform_points_screen(cam, verts)
     sxy = screen[:, :2] / image_scale
     sz = screen[:, 2]
 
     f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
-    p0, p1, p2 = sxy[f0], sxy[f1], sxy[f2]       # (F,2)
+    p0, p1, p2 = sxy[f0], sxy[f1], sxy[f2]
     z0, z1, z2 = sz[f0], sz[f1], sz[f2]
     front = (z0 > 0) & (z1 > 0) & (z2 > 0) & face_valid
 
     k = footprint
-    # footprint anchored at the triangle bbox min corner
     bb_min_c = jnp.floor(jnp.minimum(jnp.minimum(p0[:, 0], p1[:, 0]), p2[:, 0]))
     bb_min_r = jnp.floor(jnp.minimum(jnp.minimum(p0[:, 1], p1[:, 1]), p2[:, 1]))
     offs = jnp.arange(k, dtype=jnp.float32)
-    cand_c = bb_min_c[:, None] + offs[None, :]            # (F,k)
+    cand_c = bb_min_c[:, None] + offs[None, :]
     cand_r = bb_min_r[:, None] + offs[None, :]
 
-    # 2D barycentrics at each candidate pixel center: solve via edge functions
     def edge(a, b, px, py):
         return ((b[:, 0] - a[:, 0])[:, None, None] * (py - a[:, 1][:, None, None])
                 - (b[:, 1] - a[:, 1])[:, None, None] * (px - a[:, 0][:, None, None]))
 
-    px = cand_c[:, None, :]                                # (F,1,k) cols
-    py = cand_r[:, :, None]                                # (F,k,1) rows
+    px = cand_c[:, None, :]
+    py = cand_r[:, :, None]
     area = ((p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1])
-            - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0]))  # signed, (F,)
+            - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0]))
     w0 = edge(p1, p2, px, py)
     w1 = edge(p2, p0, px, py)
     w2 = edge(p0, p1, px, py)
@@ -129,39 +357,33 @@ def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
     b0 = w0 / denom
     b1 = w1 / denom
     b2 = w2 / denom
-    # >= so pixels exactly on a shared edge belong to both faces (the z-buffer
-    # + min-face-id pass picks one deterministically); strict > would leave
-    # holes along interior edges.
     inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & (jnp.abs(area) > 1e-12)[:, None, None]
 
-    # perspective-correct interpolated depth: 1/z = sum b_i / z_i
     inv_z = (b0 / z0[:, None, None] + b1 / z1[:, None, None]
              + b2 / z2[:, None, None])
     zpix = 1.0 / jnp.clip(inv_z, 1e-12, None)
 
-    ok = (inside & front[:, None, None]
-          & (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1))
+    okm = (inside & front[:, None, None]
+           & (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1))
     ci = jnp.clip(cand_c.astype(jnp.int32), 0, W - 1)[:, None, :]
     ri = jnp.clip(cand_r.astype(jnp.int32), 0, H - 1)[:, :, None]
     pix = jnp.broadcast_to(ri * W + ci, zpix.shape)
-    pix_ok = jnp.where(ok, pix, H * W)
+    pix_ok = jnp.where(okm, pix, H * W)
 
     big = jnp.asarray(jnp.inf, verts.dtype)
     zmin = jnp.full((H * W,), big, verts.dtype)
     zmin = zmin.at[pix_ok.reshape(-1)].min(
-        jnp.where(ok, zpix, big).reshape(-1), mode="drop")
+        jnp.where(okm, zpix, big).reshape(-1), mode="drop")
 
-    # pass 2: among contributions matching zmin exactly, take min face id
     fids = jnp.broadcast_to(
         jnp.arange(faces.shape[0], dtype=jnp.int32)[:, None, None], zpix.shape)
-    is_winner = ok & (zpix == zmin[pix_ok])
+    is_winner = okm & (zpix == zmin[pix_ok])
     face_win = jnp.full((H * W,), jnp.iinfo(jnp.int32).max, jnp.int32)
     face_win = face_win.at[jnp.where(is_winner, pix_ok, H * W).reshape(-1)].min(
         fids.reshape(-1), mode="drop")
     hit = face_win != jnp.iinfo(jnp.int32).max
     face_win = jnp.where(hit, face_win, -1)
 
-    # recompute perspective-correct barys for the winning face per pixel
     fw = jnp.maximum(face_win, 0)
     q0, q1, q2 = sxy[faces[fw, 0]], sxy[faces[fw, 1]], sxy[faces[fw, 2]]
     y0_, y1_, y2_ = sz[faces[fw, 0]], sz[faces[fw, 1]], sz[faces[fw, 2]]
@@ -177,7 +399,6 @@ def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
     c0 = edge1(q1, q2, pcx, pcy) / denom1
     c1 = edge1(q2, q0, pcx, pcy) / denom1
     c2 = edge1(q0, q1, pcx, pcy) / denom1
-    # perspective correction: b_i ∝ c_i / z_i
     t0 = c0 / jnp.clip(y0_, 1e-12, None)
     t1 = c1 / jnp.clip(y1_, 1e-12, None)
     t2 = c2 / jnp.clip(y2_, 1e-12, None)

@@ -55,7 +55,9 @@ def load_obj_with_uv(path: str):
 
 def bake_texture(cam: Camera, def_verts_per_frame, images, faces_v, faces_vt,
                  uvs, tex_size: int = 1024, weight_pow: float = 8.0,
-                 footprint: int = 8):
+                 footprint: int = 64):
+    # footprint must bound the projected triangle size; user-decimated UV
+    # meshes have much larger triangles than MC output, hence 64 by default.
     """Accumulate a UV texture from posed frames.
 
     def_verts_per_frame: list of (V,3) np arrays (deformed template verts);

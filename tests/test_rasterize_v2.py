@@ -1,0 +1,103 @@
+"""Gather-only (binned) rasterizers vs the scatter-based references."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from selfreconcode_tpu.render.camera import make_camera
+from selfreconcode_tpu.ops.rasterize import (
+    rasterize_mesh, rasterize_mesh_scatter, splat_mask, splat_mask_scatter)
+
+
+def _cam(H=96, W=96):
+    return make_camera(np.array([90.0, 90.0], np.float32),
+                       np.array([W / 2, H / 2], np.float32),
+                       np.array([1.0, 0, 0, 0], np.float32),
+                       np.array([0.0, 0.0, 2.0], np.float32), H, W)
+
+
+def _random_small_tri_mesh(n_faces=400, seed=0, extent=0.6, tri_size=0.04):
+    """Many small triangles (MC-like) at random depths."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-extent, extent, (n_faces, 3)).astype(np.float32)
+    centers[:, 2] = rng.uniform(-0.3, 0.3, n_faces)
+    offs = rng.uniform(-tri_size, tri_size, (n_faces, 3, 3)).astype(np.float32)
+    verts = (centers[:, None, :] + offs).reshape(-1, 3)
+    faces = np.arange(3 * n_faces, dtype=np.int32).reshape(-1, 3)
+    return jnp.asarray(verts), jnp.asarray(faces)
+
+
+def test_mesh_v2_matches_scatter_coverage_and_depth():
+    cam = _cam()
+    verts, faces = _random_small_tri_mesh()
+    fv = jnp.ones((faces.shape[0],), bool)
+    a = rasterize_mesh(cam, verts, faces, fv, footprint=10)
+    b = rasterize_mesh_scatter(cam, verts, faces, fv, footprint=10)
+    ha = np.asarray(a.pix_to_face) >= 0
+    hb = np.asarray(b.pix_to_face) >= 0
+    np.testing.assert_array_equal(ha, hb)
+    za, zb = np.asarray(a.zbuf), np.asarray(b.zbuf)
+    np.testing.assert_allclose(za[ha], zb[hb], rtol=1e-5)
+    # same winning face wherever depth separation is unambiguous
+    same = np.asarray(a.pix_to_face) == np.asarray(b.pix_to_face)
+    assert same[ha].mean() > 0.98  # ties on shared edges may differ
+    # barycentrics agree where faces agree
+    sel = ha & same
+    np.testing.assert_allclose(np.asarray(a.bary)[sel],
+                               np.asarray(b.bary)[sel], atol=1e-4)
+
+
+def test_mesh_v2_cell_cap_overflow_is_graceful():
+    cam = _cam()
+    verts, faces = _random_small_tri_mesh(n_faces=50)
+    fv = jnp.ones((faces.shape[0],), bool)
+    tiny = rasterize_mesh(cam, verts, faces, fv, footprint=10, cell_cap=2)
+    full = rasterize_mesh(cam, verts, faces, fv, footprint=10, cell_cap=64)
+    # capped result covers a subset
+    ha = np.asarray(tiny.pix_to_face) >= 0
+    hb = np.asarray(full.pix_to_face) >= 0
+    assert (ha & ~hb).sum() == 0
+
+
+def test_splat_v2_matches_scatter():
+    cam = _cam()
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (500, 3)).astype(np.float32))
+    pv = jnp.asarray(rng.random(500) > 0.1)
+    a = splat_mask(cam, pts, pv, 0.05, footprint=9)
+    b = splat_mask_scatter(cam, pts, pv, 0.05, footprint=9)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_splat_v2_grads_match_scatter():
+    cam = _cam(48, 48)
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, (60, 3)).astype(np.float32))
+    pv = jnp.ones((60,), bool)
+    tgt = jnp.asarray(rng.random((48, 48)).astype(np.float32))
+
+    def loss_a(p):
+        return (splat_mask(cam, p, pv, 0.08, 9) * tgt).sum()
+
+    def loss_b(p):
+        return (splat_mask_scatter(cam, p, pv, 0.08, 9) * tgt).sum()
+
+    ga = np.asarray(jax.grad(loss_a)(pts))
+    gb = np.asarray(jax.grad(loss_b)(pts))
+    np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-5)
+
+
+def test_splat_v2_camera_grads_flow():
+    cam = _cam(48, 48)
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, (60, 3)).astype(np.float32))
+    pv = jnp.ones((60,), bool)
+
+    def loss(T):
+        from selfreconcode_tpu.render.camera import Camera
+        cam2 = Camera(focal=cam.focal, principal=cam.principal, R=cam.R,
+                      T=T, H=cam.H, W=cam.W)
+        return splat_mask(cam2, pts, pv, 0.08, 9).sum()
+
+    g = np.asarray(jax.grad(loss)(cam.T))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
