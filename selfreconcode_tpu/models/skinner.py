@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.trilinear import trilinear_sample
+from ..ops.trilinear import trilinear_sample_channels_last
 from ..utils.math import batch_rodrigues, make_homo, rigid_inverse_homo
 from .smpl import SMPLModel, global_rigid_transform, shaped_verts_and_joints
 
@@ -37,7 +37,7 @@ from .smpl import SMPLModel, global_rigid_transform, shaped_verts_and_joints
 @dataclass(frozen=True)
 class Skinner:
     """Immutable constants pytree."""
-    ws: jnp.ndarray            # (24, D, H, W) weight volume
+    ws: jnp.ndarray            # (D, H, W, 24) weight volume (channel-LAST)
     b_min: jnp.ndarray         # (3,)
     b_max: jnp.ndarray         # (3,)
     joints: jnp.ndarray        # (24, 3) rest skeleton
@@ -75,7 +75,7 @@ def posed_skeleton(skinner: Skinner, poses: jnp.ndarray, trans: jnp.ndarray):
 def sample_skin_weights(skinner: Skinner, pts: jnp.ndarray) -> jnp.ndarray:
     """pts (N,3) world/template coords -> (N,24) LBS weights."""
     nps = 2.0 * (pts - skinner.b_min) / (skinner.b_max - skinner.b_min) - 1.0
-    return trilinear_sample(skinner.ws, nps)
+    return trilinear_sample_channels_last(skinner.ws, nps)
 
 
 def skinner_apply(skinner: Skinner, pts: jnp.ndarray, batch_inds: jnp.ndarray,
@@ -101,15 +101,15 @@ def skinner_apply(skinner: Skinner, pts: jnp.ndarray, batch_inds: jnp.ndarray,
 def smooth_weights(weights: jnp.ndarray, times: int = 3) -> jnp.ndarray:
     """Interior-neighbor-mean relaxation with 0.7 mixing, renormalized.
 
-    weights (C, D, H, W). Parity: model/Deformer.py:235-244.
+    weights (D, H, W, C) channel-last. Parity: model/Deformer.py:235-244.
     """
     def body(w, _):
-        mean = (w[:, 2:, 1:-1, 1:-1] + w[:, :-2, 1:-1, 1:-1]
-                + w[:, 1:-1, 2:, 1:-1] + w[:, 1:-1, :-2, 1:-1]
-                + w[:, 1:-1, 1:-1, 2:] + w[:, 1:-1, 1:-1, :-2]) / 6.0
-        interior = (w[:, 1:-1, 1:-1, 1:-1] - mean) * 0.7 + mean
-        w = w.at[:, 1:-1, 1:-1, 1:-1].set(interior)
-        w = w / w.sum(0, keepdims=True)
+        mean = (w[2:, 1:-1, 1:-1] + w[:-2, 1:-1, 1:-1]
+                + w[1:-1, 2:, 1:-1] + w[1:-1, :-2, 1:-1]
+                + w[1:-1, 1:-1, 2:] + w[1:-1, 1:-1, :-2]) / 6.0
+        interior = (w[1:-1, 1:-1, 1:-1] - mean) * 0.7 + mean
+        w = w.at[1:-1, 1:-1, 1:-1].set(interior)
+        w = w / w.sum(-1, keepdims=True)
         return w, None
 
     weights, _ = jax.lax.scan(body, weights, None, length=times)
@@ -123,7 +123,7 @@ def compute_lbs_weight_field(b_min, b_max, resolution, smpl_verts, smpl_ws,
                              chunk: int = 4096) -> jnp.ndarray:
     """Diffuse per-vertex SMPL weights onto a regular grid.
 
-    resolution: (W, H, D); returns (24, D, H, W).
+    resolution: (W, H, D); returns (D, H, W, 24) channel-last.
     Grid coords use align_corners=False voxel centers.
     Parity: model/Deformer.py:246-284.  jit-wrapped: the one-time build is a
     single XLA program (eager dispatch over a remote TPU is pathological).
@@ -151,7 +151,7 @@ def compute_lbs_weight_field(b_min, b_max, resolution, smpl_verts, smpl_ws,
         return jnp.einsum("nk,nkj->nj", w, smpl_ws[idx])
 
     fws = jax.lax.map(per_chunk, chunks).reshape(-1, smpl_ws.shape[-1])[:n]
-    fws = fws.T.reshape(-1, D, H, W)
+    fws = fws.reshape(D, H, W, smpl_ws.shape[-1])
     return smooth_weights(fws, smooth_times)
 
 

@@ -203,7 +203,8 @@ def _log_term(dc, dr, r_pix):
     return jnp.log1p(-w)  # 0 where w <= 0
 
 
-def _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
+def _splat_bin(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
+    """Shared binning for fwd and bwd (deterministic)."""
     cs = max(8, k)
     ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
     ok = point_valid & (z > 0.0)
@@ -212,21 +213,31 @@ def _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
         col - half, row - half, col + half, row + half,
         ok & (col + half >= 0) & (col - half <= W - 1)
         & (row + half >= 0) & (row - half <= H - 1), cs, ncx, ncy)
-    table, _, overflow = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
+    table, _, _ = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
     cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)
-    cvalid = cand >= 0
-    cp = jnp.maximum(cand, 0)
-    ccol, crow = col[cp], row[cp]                   # (C,cap)
-
     cell_ids = jnp.arange(ncy * ncx)
     lx = jnp.arange(cs)
     px = ((cell_ids % ncx) * cs)[:, None] + jnp.tile(lx, cs)[None, :]
     py = ((cell_ids // ncx) * cs)[:, None] + jnp.repeat(lx, cs)[None, :]
+    return (cs, ncy, ncx, Hp, Wp, table, cand, px, py)
+
+
+def _splat_cell_acc(col, row, cand, px, py, r_pix):
+    """Per-cell accumulated log terms, differentiable in (col, row)."""
+    cvalid = cand >= 0
+    cp = jnp.maximum(cand, 0)
+    ccol, crow = col[cp], row[cp]                   # (C,cap)
     dc = ccol[:, :, None] - px[:, None, :].astype(col.dtype)
     dr = crow[:, :, None] - py[:, None, :].astype(col.dtype)
     lt = _log_term(dc, dr, r_pix)
     lt = jnp.where(cvalid[:, :, None], lt, 0.0)
-    acc = lt.sum(axis=1)                             # (C, P)
+    return lt.sum(axis=1)                            # (C, P)
+
+
+def _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
+    (cs, ncy, ncx, Hp, Wp, table, cand, px, py) = _splat_bin(
+        col, row, z, point_valid, r_pix, H, W, k, cell_cap)
+    acc = _splat_cell_acc(col, row, cand, px, py, r_pix)
     img = acc.reshape(ncy, ncx, cs, cs)
     img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp)[:H, :W]
     return 1.0 - jnp.exp(img), img
@@ -239,34 +250,23 @@ def _splat_core_fwd(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
 
 
 def _splat_core_bwd(r_pix, H, W, k, cell_cap, res, g):
+    """Transpose of the forward through the SAME cell structure: per-cell vjp
+    (vectorized, ~forward cost) then one unique-index scatter of C*cap
+    per-candidate grads back to points (tiny vs the 50x larger naive
+    per-point-footprint scatter)."""
     col, row, z, point_valid, mask = res
     # dL/dacc[px] = -g[px] * exp(acc[px]) = -g[px] * (1 - mask[px])
     cot_acc = -g * (1.0 - mask)
-    cot_pad = jnp.pad(cot_acc, ((0, k), (0, k)))
-    ok = point_valid & (z > 0.0)
-    half = (k - 1) // 2
-    base_c = jnp.floor(col) - half
-    base_r = jnp.floor(row) - half
-    offs = jnp.arange(k, dtype=col.dtype)
+    (cs, ncy, ncx, Hp, Wp, table, cand, px, py) = _splat_bin(
+        col, row, z, point_valid, r_pix, H, W, k, cell_cap)
+    # image -> per-cell pixel layout (C, P)
+    cot_pad = jnp.pad(cot_acc, ((0, Hp - H), (0, Wp - W)))
+    cot_cells = jnp.moveaxis(
+        cot_pad.reshape(ncy, cs, ncx, cs), 1, 2).reshape(ncy * ncx, cs * cs)
 
-    def per_point_terms(col_, row_):
-        cand_c = base_c[:, None] + offs[None, :]     # static base: detached
-        cand_r = base_r[:, None] + offs[None, :]
-        dc = col_[:, None, None] - cand_c[:, None, :]
-        dr = row_[:, None, None] - cand_r[:, :, None]
-        lt = _log_term(dc, dr, r_pix)
-        inb = ((cand_c[:, None, :] >= 0) & (cand_c[:, None, :] <= W - 1)
-               & (cand_r[:, :, None] >= 0) & (cand_r[:, :, None] <= H - 1))
-        return jnp.where((ok[:, None, None]) & inb, lt, 0.0)
-
-    ci = jnp.clip(base_c[:, None].astype(jnp.int32)
-                  + offs[None, :].astype(jnp.int32), 0, W - 1 + k)
-    ri = jnp.clip(base_r[:, None].astype(jnp.int32)
-                  + offs[None, :].astype(jnp.int32), 0, H - 1 + k)
-    cot_pt = cot_pad[ri[:, :, None], ci[:, None, :]]  # (P,k,k)
-
-    _, vjp = jax.vjp(per_point_terms, col, row)
-    g_col, g_row = vjp(cot_pt)
+    _, vjp = jax.vjp(
+        lambda c_, r_: _splat_cell_acc(c_, r_, cand, px, py, r_pix), col, row)
+    g_col, g_row = vjp(cot_cells)
     g_z = jnp.zeros_like(z)
     g_valid = jnp.zeros_like(point_valid)
     return g_col, g_row, g_z, g_valid

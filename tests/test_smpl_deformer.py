@@ -86,8 +86,10 @@ def test_weight_field_normalized_and_smooth(toy):
     verts = toy.v_template
     ws = compute_lbs_weight_field(
         np.asarray(verts).min(0) - 0.1, np.asarray(verts).max(0) + 0.1,
-        (9, 9, 9), verts, toy.weights, mean_neighbor=5, smooth_times=3)
-    s = np.asarray(ws.sum(0))
+        resolution=(9, 9, 9), smpl_verts=verts, smpl_ws=toy.weights,
+        mean_neighbor=5, smooth_times=3)
+    assert ws.shape == (9, 9, 9, 24)  # channel-last
+    s = np.asarray(ws.sum(-1))
     np.testing.assert_allclose(s, np.ones_like(s), atol=1e-4)
     assert np.asarray(ws).min() >= -1e-6
 
