@@ -145,6 +145,22 @@ class SceneDataset:
                 out["normal"] = (2.0 * raw["normal"].astype(np.float32)
                                  / 255.0 - 1.0)
             return out
+
+    def batch_raw(self, fids) -> dict:
+        """uint8 batch: img (B,H,W,3) BGR, mask (B,H,W) {0,1}, optional
+        normal (B,H,W,3) RGB-encoded.  The training step converts to float
+        ON DEVICE (8x less host->device traffic than float32)."""
+        if self._native is not None:
+            return self._native.batch(fids)
+        frames = [self.frame_data(int(f)) for f in fids]
+        out = {"img": np.stack([f["img"] for f in frames]),
+               "mask": np.stack([f["mask"].astype(np.uint8)
+                                 for f in frames])}
+        if all("normal" in f for f in frames):
+            out["normal"] = np.stack([
+                np.clip((f["normal"].astype(np.float32) * 0.5 + 0.5) * 255.0,
+                        0, 255).astype(np.uint8) for f in frames])
+        return out
         frames = [self.frame_data(int(f)) for f in fids]
         imgs = np.stack([(f["img"].astype(np.float32) / 255.0 - 0.5) * 2.0
                          for f in frames])
@@ -259,20 +275,23 @@ class RandomSampler:
 
 
 def batch_iterator(dataset: SceneDataset, sampler: RandomSampler,
-                   batch_size: int, prefetch: int = 2):
+                   batch_size: int, prefetch: int = 2, raw: bool = True):
     """Yield (fids (B,), batch dict) over one epoch with background prefetch.
 
-    Replaces the reference's DataLoader(num_workers=4): one decode thread is
-    enough because decoded frames are RAM-cached after epoch 1."""
+    Replaces the reference's DataLoader(num_workers=4): one feeder thread on
+    top of the native loader's decode pool; frames are RAM-cached after
+    epoch 1.  raw=True yields uint8 batches (the trainer converts on device).
+    """
     ids = sampler.epoch_ids()
     groups = [ids[i:i + batch_size] for i in range(0, len(ids), batch_size)]
     groups = [g for g in groups if len(g) == batch_size]
 
     q: _queue.Queue = _queue.Queue(maxsize=prefetch)
+    fetch = dataset.batch_raw if raw else dataset.batch
 
     def worker():
         for g in groups:
-            q.put((g, dataset.batch(g)))
+            q.put((g, fetch(g)))
         q.put(None)
 
     t = threading.Thread(target=worker, daemon=True)

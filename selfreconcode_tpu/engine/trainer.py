@@ -392,6 +392,23 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
 
         return total, info
 
+    # uint8 batches are converted to float ON DEVICE (8x less host->device
+    # traffic at 1080p); float inputs (tests) pass through unchanged
+    def _img_f32(x):   # (B,H,W,3) uint8 BGR -> [-1,1]
+        if x.dtype == jnp.uint8:
+            return (x.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+        return x
+
+    def _mask_f32(x):
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32)
+        return x
+
+    def _normal_f32(x):  # uint8-encoded RGB -> [-1,1]
+        if x.dtype == jnp.uint8:
+            return 2.0 * x.astype(jnp.float32) / 255.0 - 1.0
+        return x
+
     # The step is TWO jitted programs split at the natural no-grad boundary
     # (the reference also rasterizes under no_grad, network.py:491-493):
     # one giant program triggers an XLA TPU priority-fusion compiler crash
@@ -404,6 +421,7 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
         """No-grad geometry: deform template, rasterize, surface inits, ray
         selection, gt-mask dilation."""
         params, bank, _, tmp = state
+        gtMs = _mask_f32(gtMs)
         _, r_def, _ = ratios
         cam_sg = jax.tree_util.tree_map(
             jax.lax.stop_gradient, camera_from_bank(bank, H, W, cfg))
@@ -460,6 +478,8 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
                    ray_binds, windows, ratios, lr, key):
         """Outer loss (surface + field losses) + combined Adam update."""
         params, bank, opt_state, _ = state
+        gtCs = _img_f32(gtCs)
+        gtNs = _normal_f32(gtNs)
         r_sdf = ratios[0]
         new_verts_sg = jax.lax.stop_gradient(new_tmp.verts)
 
@@ -870,8 +890,14 @@ class Trainer:
                              jnp.float32)
         starts, _ = self.dataset.window_indices(fids, cfg.window)
         windows = starts[:, None] + np.arange(cfg.window)[None, :]
-        gtNs = (jnp.asarray(batch["normal"]) if "normal" in batch
-                else jnp.zeros((cfg.N, cfg.H, cfg.W, 3)))
+        if "normal" in batch:
+            gtNs = jnp.asarray(batch["normal"])
+        else:
+            # device-resident zero normals, uploaded once (not 42 MB/step)
+            if getattr(self, "_gtNs_zero", None) is None or \
+                    self._gtNs_zero.shape != (cfg.N, cfg.H, cfg.W, 3):
+                self._gtNs_zero = jnp.zeros((cfg.N, cfg.H, cfg.W, 3))
+            gtNs = self._gtNs_zero
         self.state, info = step(
             self.state, jnp.asarray(batch["img"]), jnp.asarray(batch["mask"]),
             gtNs, jnp.asarray(fids, jnp.int32), jnp.asarray(windows, jnp.int32),
