@@ -131,23 +131,33 @@ def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
     big = jnp.asarray(jnp.inf, verts.dtype)
     zmasked = jnp.where(inside, zpix, big)          # (C,cap,P)
 
+    # min-reduce over candidates; the (C,cap,P) intermediates fuse into this
+    # reduction (nothing else consumes them — bary is recomputed winner-only)
     slot = jnp.argmin(zmasked, axis=1)               # (C,P)
-    zmin = jnp.take_along_axis(zmasked, slot[:, None, :], axis=1)[:, 0, :]
+    zmin = jnp.min(zmasked, axis=1)
     hit = jnp.isfinite(zmin)
     face_win = jnp.take_along_axis(cand, slot, axis=1)   # (C,P)
     face_win = jnp.where(hit, face_win, -1)
 
-    def take(b):  # (C,cap,P) selected at the winning slot -> (C,P)
-        return jnp.take_along_axis(b, slot[:, None, :], axis=1)[:, 0, :]
+    # winner-only barycentrics: gather the winning face's verts per pixel
+    fw = jnp.maximum(face_win, 0)
+    u0, u1, u2 = p0[fw], p1[fw], p2[fw]              # (C,P,2)
+    v0, v1, v2 = z0[fw], z1[fw], z2[fw]              # (C,P)
 
-    c0, c1, c2 = take(b0), take(b1), take(b2)
-    ty0 = jnp.take_along_axis(y0, slot, axis=1)
-    ty1 = jnp.take_along_axis(y1, slot, axis=1)
-    ty2 = jnp.take_along_axis(y2, slot, axis=1)
+    def edge_p(ax, ay, bx, by):
+        return (bx - ax) * (py.astype(verts.dtype) - ay) \
+            - (by - ay) * (px.astype(verts.dtype) - ax)
+
+    area_w = ((u1[..., 0] - u0[..., 0]) * (u2[..., 1] - u0[..., 1])
+              - (u1[..., 1] - u0[..., 1]) * (u2[..., 0] - u0[..., 0]))
+    denom_w = jnp.where(jnp.abs(area_w) > 1e-12, area_w, 1.0)
+    c0 = edge_p(u1[..., 0], u1[..., 1], u2[..., 0], u2[..., 1]) / denom_w
+    c1 = edge_p(u2[..., 0], u2[..., 1], u0[..., 0], u0[..., 1]) / denom_w
+    c2 = edge_p(u0[..., 0], u0[..., 1], u1[..., 0], u1[..., 1]) / denom_w
     # perspective correction: b_i ∝ c_i / z_i
-    t0 = c0 / jnp.clip(ty0, 1e-12, None)
-    t1 = c1 / jnp.clip(ty1, 1e-12, None)
-    t2 = c2 / jnp.clip(ty2, 1e-12, None)
+    t0 = c0 / jnp.clip(v0, 1e-12, None)
+    t1 = c1 / jnp.clip(v1, 1e-12, None)
+    t2 = c2 / jnp.clip(v2, 1e-12, None)
     ts = jnp.clip(t0 + t1 + t2, 1e-12, None)
     bary = jnp.stack([t0 / ts, t1 / ts, t2 / ts], axis=-1)
     bary = jnp.where(hit[..., None], bary, 0.0)
