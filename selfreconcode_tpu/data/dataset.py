@@ -145,6 +145,15 @@ class SceneDataset:
                 out["normal"] = (2.0 * raw["normal"].astype(np.float32)
                                  / 255.0 - 1.0)
             return out
+        frames = [self.frame_data(int(f)) for f in fids]
+        imgs = np.stack([(f["img"].astype(np.float32) / 255.0 - 0.5) * 2.0
+                         for f in frames])
+        masks = np.stack([f["mask"].astype(np.float32) for f in frames])
+        out = {"img": imgs, "mask": masks}
+        if all("normal" in f for f in frames):
+            out["normal"] = np.stack([f["normal"].astype(np.float32)
+                                      for f in frames])
+        return out
 
     def batch_raw(self, fids) -> dict:
         """uint8 batch: img (B,H,W,3) BGR, mask (B,H,W) {0,1}, optional
@@ -160,15 +169,6 @@ class SceneDataset:
             out["normal"] = np.stack([
                 np.clip((f["normal"].astype(np.float32) * 0.5 + 0.5) * 255.0,
                         0, 255).astype(np.uint8) for f in frames])
-        return out
-        frames = [self.frame_data(int(f)) for f in fids]
-        imgs = np.stack([(f["img"].astype(np.float32) / 255.0 - 0.5) * 2.0
-                         for f in frames])
-        masks = np.stack([f["mask"].astype(np.float32) for f in frames])
-        out = {"img": imgs, "mask": masks}
-        if all("normal" in f for f in frames):
-            out["normal"] = np.stack([f["normal"].astype(np.float32)
-                                      for f in frames])
         return out
 
     # -- learnable bank -----------------------------------------------------

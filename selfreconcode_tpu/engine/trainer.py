@@ -563,9 +563,9 @@ class Trainer:
         pose_type = conf.get_int("train.skinner_pose_type")
         init_pose = smpl_tmp_apose(pose_type)
         shape = jnp.asarray(dataset.shape)
-        # _v2: channel-last weight-volume layout
+        # _v3: corner-packed weight-volume layout
         skinner_cache = (osp.join(data_root,
-                                  f"initial_skinner_{pose_type}_v2.npz")
+                                  f"initial_skinner_{pose_type}_v3.npz")
                          if data_root else None)
         self.skinner, self.body_vs, self.body_fs = self._build_or_load_skinner(
             smpl_model, shape, init_pose, skinner_res, skinner_cache)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.trilinear import trilinear_sample_channels_last
+from ..ops.trilinear import pack_corners, trilinear_sample_packed
 from ..utils.math import batch_rodrigues, make_homo, rigid_inverse_homo
 from .smpl import SMPLModel, global_rigid_transform, shaped_verts_and_joints
 
@@ -37,7 +37,7 @@ from .smpl import SMPLModel, global_rigid_transform, shaped_verts_and_joints
 @dataclass(frozen=True)
 class Skinner:
     """Immutable constants pytree."""
-    ws: jnp.ndarray            # (D, H, W, 24) weight volume (channel-LAST)
+    ws: jnp.ndarray            # (D, H, W, 8, 24) corner-packed weight volume
     b_min: jnp.ndarray         # (3,)
     b_max: jnp.ndarray         # (3,)
     joints: jnp.ndarray        # (24, 3) rest skeleton
@@ -75,7 +75,7 @@ def posed_skeleton(skinner: Skinner, poses: jnp.ndarray, trans: jnp.ndarray):
 def sample_skin_weights(skinner: Skinner, pts: jnp.ndarray) -> jnp.ndarray:
     """pts (N,3) world/template coords -> (N,24) LBS weights."""
     nps = 2.0 * (pts - skinner.b_min) / (skinner.b_max - skinner.b_min) - 1.0
-    return trilinear_sample_channels_last(skinner.ws, nps)
+    return trilinear_sample_packed(skinner.ws, nps)
 
 
 def skinner_apply(skinner: Skinner, pts: jnp.ndarray, batch_inds: jnp.ndarray,
@@ -196,6 +196,7 @@ def build_skinner(model: SMPLModel, shape: jnp.ndarray, init_pose: np.ndarray,
         jnp.asarray(b_min, jnp.float32), jnp.asarray(b_max, jnp.float32),
         resolution=tuple(int(r) for r in resolution), smpl_verts=verts,
         smpl_ws=model.weights)
+    ws = jax.jit(pack_corners)(ws)
     skinner = Skinner(
         ws=ws,
         b_min=jnp.asarray(b_min, jnp.float32).reshape(3),
