@@ -45,7 +45,8 @@ def test_phong_frontal_brighter_than_grazing():
     # diffuse-only shading so saturation can't mask the angle difference
     from selfreconcode_tpu.ops.rasterize import rasterize_mesh
     from selfreconcode_tpu.render.shading import phong_shade
-    frags = rasterize_mesh(cam, verts, faces, fv, 40)
+    # footprint must bound the projected bbox: the tilted quad spans ~46 px
+    frags = rasterize_mesh(cam, verts, faces, fv, 64)
     img, hit = phong_shade(cam, verts, faces, fv, frags,
                            light_pos=cam_pos(cam), ambient=0.1, diffuse=0.7,
                            specular=0.0)
