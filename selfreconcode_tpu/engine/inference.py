@@ -35,13 +35,12 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False):
     sdf_net = trainer.sdf_net
     trans_net = trainer.trans_net
     render_net = trainer.render_net
-    deformer = trainer.deformer
     H, W = trainer.dataset.H, trainer.dataset.W
     cfg = SurfaceConfig(n_iters=30, dthreshold=1e-4,
                         athreshold_deg=trainer.ang_thresh, w1=3.05, w2=1.0)
 
     @jax.jit
-    def infer_frame(params, bank, tmp, fid, gt_mask):
+    def _infer_frame(params, bank, tmp, fid, gt_mask, deformer):
         cam = Camera(
             focal=bank["camera"]["focal_length"],
             principal=bank["camera"]["princeple_points"],
@@ -118,6 +117,12 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False):
         img = jnp.where(done[:, None], colors, 1.0).reshape(H, W, 3)
         out["color_img"] = img
         return out
+
+    def infer_frame(params, bank, tmp, fid, gt_mask):
+        # deformer passed as an argument (never closed over: the weight
+        # volume would be inlined as an HLO constant, see Skinner docstring)
+        return _infer_frame(params, bank, tmp, fid, gt_mask,
+                            trainer.deformer)
 
     return infer_frame
 

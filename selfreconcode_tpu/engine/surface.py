@@ -168,39 +168,42 @@ def _optimize_newton(sdf_params, trans_params, net, deformer, init_pts,
 # Implicitly-differentiated surface points
 # ---------------------------------------------------------------------------
 
-def make_surface_points_fn(net: SDFNet, deformer: Deformer, cfg: SurfaceConfig):
+def make_surface_points_fn(net: SDFNet, translator_net, cfg: SurfaceConfig):
     """Build the implicitly-differentiated surface-point function.
 
-    The deformer (which carries jnp constants like the LBS weight volume) is
-    captured by closure — custom_vjp static args must not contain arrays.
+    The deformer is an ARGUMENT of the returned function (a Skinner/Deformer
+    pytree): capturing it by closure would inline the LBS weight volume as an
+    HLO constant in every surrounding jit (fatal with remote compilation).
+    Its cotangent is zero (surface points are differentiated w.r.t. the
+    translator params / latents / poses, not the frozen weight volume).
 
     Returned fn signature:
-        fn(ratios, sdf_params, trans_params, dcond, poses, trans,
+        fn(ratios, deformer, sdf_params, trans_params, dcond, poses, trans,
            rays, cam_c, init_pts, batch_inds) -> (pts, converged)
     Gradients flow to sdf_params, trans_params, dcond, poses, trans, rays,
-    cam_c; none to ratios/init_pts/batch_inds.
+    cam_c; none to ratios/deformer/init_pts/batch_inds.
     """
 
     @jax.custom_vjp
-    def surface_points(ratios, sdf_params, trans_params, dcond, poses, trans,
-                       rays, cam_c, init_pts, batch_inds):
+    def surface_points(ratios, deformer, sdf_params, trans_params, dcond,
+                       poses, trans, rays, cam_c, init_pts, batch_inds):
         pts, done = optimize_surface_points(
             sdf_params, trans_params, net, deformer, init_pts, batch_inds,
             dcond, poses, trans, rays, cam_c, ratios[0], ratios[1], cfg)
         return pts, done
 
-    def _fwd(ratios, sdf_params, trans_params, dcond, poses, trans, rays,
-             cam_c, init_pts, batch_inds):
+    def _fwd(ratios, deformer, sdf_params, trans_params, dcond, poses, trans,
+             rays, cam_c, init_pts, batch_inds):
         pts, done = optimize_surface_points(
             sdf_params, trans_params, net, deformer, init_pts, batch_inds,
             dcond, poses, trans, rays, cam_c, ratios[0], ratios[1], cfg)
-        res = (ratios, sdf_params, trans_params, dcond, poses, trans, rays,
-               cam_c, pts, done, batch_inds)
+        res = (ratios, deformer, sdf_params, trans_params, dcond, poses,
+               trans, rays, cam_c, pts, done, batch_inds)
         return (pts, done), res
 
     def _bwd(res, cts):
-        (ratios, sdf_params, trans_params, dcond, poses, trans, rays, cam_c,
-         pts, done, batch_inds) = res
+        (ratios, deformer, sdf_params, trans_params, dcond, poses, trans,
+         rays, cam_c, pts, done, batch_inds) = res
         g_p, _ = cts  # cotangent on the converged mask is meaningless
         ratio_sdf, ratio_def = ratios
         g_p = jnp.where(done[:, None], g_p, 0.0)
@@ -246,10 +249,12 @@ def make_surface_points_fn(net: SDFNet, deformer: Deformer, cfg: SurfaceConfig):
         g_cam = -cot_d.sum(0)
 
         g_ratios = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), ratios)
+        g_deformer = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x), deformer)  # zero, DCE'd by callers
         g_init = jnp.zeros_like(pts)
         g_bi = jnp.zeros_like(batch_inds)
-        return (g_ratios, g_sdf_params, g_trans_params, g_dcond, g_poses,
-                g_trans, g_rays, g_cam, g_init, g_bi)
+        return (g_ratios, g_deformer, g_sdf_params, g_trans_params, g_dcond,
+                g_poses, g_trans, g_rays, g_cam, g_init, g_bi)
 
     surface_points.defvjp(_fwd, _bwd)
     return surface_points

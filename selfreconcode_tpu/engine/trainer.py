@@ -192,10 +192,14 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
                     render_net: RenderNet, deformer: Deformer,
                     cfg: StageStatic, dctnull: np.ndarray,
                     ang_thresh_deg: float, optimizer):
-    """Returns jitted step(state, batch, step_in) -> (state, info)."""
+    """Returns step(state, batch, step_in) -> (state, info).
+
+    The deformer (LBS weight volume) is threaded through the jitted passes as
+    an ARGUMENT — closure capture would inline it as an HLO constant (fatal
+    with the remote compiler; see Skinner's docstring)."""
     surf_cfg = SurfaceConfig(n_iters=cfg.surf_iters, dthreshold=5e-5,
                              athreshold_deg=ang_thresh_deg, w1=3.05, w2=1.0)
-    surface_points = make_surface_points_fn(sdf_net, deformer, surf_cfg)
+    surface_points = make_surface_points_fn(sdf_net, trans_net, surf_cfg)
     w = cfg.weights
     N, H, W = cfg.N, cfg.H, cfg.W
     P = cfg.sample_pix * N if w.sample_pix_num == 0 else w.sample_pix_num * N
@@ -216,7 +220,7 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
 
     # -- inner (pc) loss: mask IoU + mesh regus + def-consistency ----------
     def inner_loss(tmp_verts, params, bank, tmp: TemplateState, fids,
-                   mgtMs, ratios):
+                   mgtMs, ratios, deformer):
         _, r_def, _ = ratios
         cam = camera_from_bank(bank, H, W, cfg)
         poses, trans, dcond, _ = frame_params(bank, fids)
@@ -257,7 +261,7 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
     # -- outer loss ---------------------------------------------------------
     def outer_loss(params, bank, new_verts_sg, vert_valid, fids, init_pts,
                    init_valid, ray_rows, ray_cols, ray_binds, gtCs, gtNs,
-                   windows, ratios, key):
+                   windows, ratios, key, deformer):
         r_sdf, r_def, r_ren = ratios
         cam = camera_from_bank(bank, H, W, cfg)
         poses, trans, dcond, rcond = frame_params(bank, fids)
@@ -275,8 +279,8 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
         pts, done = surface_points(
             jnp.stack([jnp.asarray(r_sdf, jnp.float32),
                        jnp.asarray(r_def, jnp.float32)]),
-            params["sdf"], params["trans"], dcond, poses, trans, rays, c,
-            init_pts, ray_binds)
+            deformer, params["sdf"], params["trans"], dcond, poses, trans,
+            rays, c, init_pts, ray_binds)
         done = done & init_valid
         info["ray_converged"] = done.sum()
 
@@ -417,7 +421,7 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
     # boundary — no host syncs.
 
     @jax.jit
-    def geom_pass(state: TrainState, gtMs, fids, ratios, key):
+    def geom_pass(state: TrainState, deformer, gtMs, fids, ratios, key):
         """No-grad geometry: deform template, rasterize, surface inits, ray
         selection, gt-mask dilation."""
         params, bank, _, tmp = state
@@ -452,13 +456,13 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
         return init_pts, sel_ok, ray_binds, ray_rows, ray_cols, mgtMs
 
     @jax.jit
-    def inner_pass(state: TrainState, fids, mgtMs, ratios):
+    def inner_pass(state: TrainState, deformer, fids, mgtMs, ratios):
         """Inner pc loss: grads w.r.t. template verts AND shared params;
         template-vertex SGD update."""
         params, bank, _, tmp = state
 
         def inner_wrap(tv, pr, bk):
-            return inner_loss(tv, pr, bk, tmp, fids, mgtMs, ratios)
+            return inner_loss(tv, pr, bk, tmp, fids, mgtMs, ratios, deformer)
 
         (pc_loss_val, (masks, pc_info)), inner_grads = jax.value_and_grad(
             inner_wrap, argnums=(0, 1, 2), has_aux=True)(
@@ -473,9 +477,9 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
         return new_tmp, g_params_in, g_bank_in, pc_loss_val, masks, pc_info
 
     @jax.jit
-    def outer_pass(state: TrainState, new_tmp, g_params_in, g_bank_in,
-                   gtCs, gtNs, fids, init_pts, sel_ok, ray_rows, ray_cols,
-                   ray_binds, windows, ratios, lr, key):
+    def outer_pass(state: TrainState, deformer, new_tmp, g_params_in,
+                   g_bank_in, gtCs, gtNs, fids, init_pts, sel_ok, ray_rows,
+                   ray_cols, ray_binds, windows, ratios, lr, key):
         """Outer loss (surface + field losses) + combined Adam update."""
         params, bank, opt_state, _ = state
         gtCs = _img_f32(gtCs)
@@ -487,7 +491,7 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
             total, info = outer_loss(
                 pr, bk, new_verts_sg, new_tmp.vert_valid, fids, init_pts,
                 sel_ok, ray_rows, ray_cols, ray_binds, gtCs, gtNs, windows,
-                ratios, key)
+                ratios, key, deformer)
             sdf_tv = sdf_value_only(pr["sdf"], sdf_net, new_verts_sg, r_sdf)
             anchor = L.sdf_anchor_loss(sdf_tv, new_tmp.vert_valid, 0.0)
             info["pc_loss_sdf"] = anchor
@@ -512,12 +516,12 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
              ratios, lr, key):
         k_sel, k_loss = jax.random.split(key)
         (init_pts, sel_ok, ray_binds, ray_rows, ray_cols,
-         mgtMs) = geom_pass(state, gtMs, fids, ratios, k_sel)
+         mgtMs) = geom_pass(state, deformer, gtMs, fids, ratios, k_sel)
         (new_tmp, g_params_in, g_bank_in, pc_loss_val, masks,
-         pc_info) = inner_pass(state, fids, mgtMs, ratios)
+         pc_info) = inner_pass(state, deformer, fids, mgtMs, ratios)
         new_state, info, outer_val = outer_pass(
-            state, new_tmp, g_params_in, g_bank_in, gtCs, gtNs, fids,
-            init_pts, sel_ok, ray_rows, ray_cols, ray_binds, windows,
+            state, deformer, new_tmp, g_params_in, g_bank_in, gtCs, gtNs,
+            fids, init_pts, sel_ok, ray_rows, ray_cols, ray_binds, windows,
             ratios, lr, k_loss)
         info.update(pc_info)
         info["loss"] = outer_val + pc_loss_val

@@ -18,8 +18,17 @@ from .translator import TranslatorNet, translator_apply
 
 @dataclass(frozen=True)
 class Deformer:
-    translator: TranslatorNet
-    skinner: Skinner
+    translator: TranslatorNet   # static config (hashable frozen dataclass)
+    skinner: Skinner            # pytree child (weight volume etc.)
+
+
+# Registered as a pytree so jitted functions receive the deformer as an
+# ARGUMENT (closure capture would inline the weight volume as an HLO
+# constant — see Skinner's docstring).
+jax.tree_util.register_pytree_node(
+    Deformer,
+    lambda d: ((d.skinner,), d.translator),
+    lambda aux, leaves: Deformer(translator=aux, skinner=leaves[0]))
 
 
 def deformer_apply(translator_params, deformer: Deformer, pts, batch_inds,

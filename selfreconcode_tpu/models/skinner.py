@@ -36,13 +36,26 @@ from .smpl import SMPLModel, global_rigid_transform, shaped_verts_and_joints
 
 @dataclass(frozen=True)
 class Skinner:
-    """Immutable constants pytree."""
+    """Immutable constants, registered as a pytree.
+
+    IMPORTANT: always pass the Skinner (or a Deformer holding it) INTO jitted
+    functions as an argument — never capture it in a jit closure.  Closed-over
+    arrays are inlined as HLO constants; with the remote-compile tunnel that
+    serializes the whole weight volume into every compile request (and at the
+    corner-packed production size exceeds the request limit outright)."""
     ws: jnp.ndarray            # (D, H, W, 8, 24) corner-packed weight volume
     b_min: jnp.ndarray         # (3,)
     b_max: jnp.ndarray         # (3,)
     joints: jnp.ndarray        # (24, 3) rest skeleton
     init_pose_inv: jnp.ndarray  # (24, 4, 4) inverse of the A-pose transforms
-    parents: np.ndarray        # (24,) static
+    parents: tuple             # (24,) static kinematic tree
+
+
+jax.tree_util.register_pytree_node(
+    Skinner,
+    lambda s: ((s.ws, s.b_min, s.b_max, s.joints, s.init_pose_inv),
+               tuple(int(p) for p in s.parents)),
+    lambda aux, leaves: Skinner(*leaves, parents=aux))
 
 
 def fk_transforms(skinner: Skinner, poses: jnp.ndarray, trans: jnp.ndarray):

@@ -97,22 +97,22 @@ def test_implicit_gradients_match_fd(setup, wrt):
     (net, tnet, deformer, cfg, sdf_params, tparams, init_pts, batch_inds,
      dcond, poses, trans, cam_c) = setup
     rays = _rays_for(setup)
-    surface_points = make_surface_points_fn(net, deformer, cfg)
+    surface_points = make_surface_points_fn(net, tnet, cfg)
     ratios = jnp.asarray([1.0, 1.0])
     target = jnp.asarray(np.random.default_rng(5).standard_normal((16, 3)),
                          jnp.float32)
 
     # fixed weight mask from the unperturbed forward
-    _, done0 = surface_points(ratios, sdf_params, tparams, dcond, poses,
-                              trans, rays, cam_c, init_pts, batch_inds)
+    _, done0 = surface_points(ratios, deformer, sdf_params, tparams, dcond,
+                              poses, trans, rays, cam_c, init_pts, batch_inds)
     w0 = jnp.asarray(done0).astype(jnp.float32)[:, None]
     assert int(done0.sum()) >= 12
 
     @jax.jit
     def loss_an(dcond_, poses_, trans_, rays_, cam_c_):
-        pts, _ = surface_points(ratios, sdf_params, tparams, dcond_,
-                                poses_, trans_, rays_, cam_c_, init_pts,
-                                batch_inds)
+        pts, _ = surface_points(ratios, deformer, sdf_params, tparams,
+                                dcond_, poses_, trans_, rays_, cam_c_,
+                                init_pts, batch_inds)
         return (w0 * pts * target).sum()
 
     # exact-root evaluator: Newton with no freezing (thresholds < 0)
