@@ -567,9 +567,9 @@ class Trainer:
         pose_type = conf.get_int("train.skinner_pose_type")
         init_pose = smpl_tmp_apose(pose_type)
         shape = jnp.asarray(dataset.shape)
-        # _v3: corner-packed weight-volume layout
+        # _v4: flat corner-packed weight table
         skinner_cache = (osp.join(data_root,
-                                  f"initial_skinner_{pose_type}_v3.npz")
+                                  f"initial_skinner_{pose_type}_v4.npz")
                          if data_root else None)
         self.skinner, self.body_vs, self.body_fs = self._build_or_load_skinner(
             smpl_model, shape, init_pose, skinner_res, skinner_cache)
@@ -624,14 +624,17 @@ class Trainer:
                          b_max=jnp.asarray(z["b_max"]),
                          joints=jnp.asarray(z["joints"]),
                          init_pose_inv=jnp.asarray(z["init_pose_inv"]),
-                         parents=z["parents"])
+                         parents=tuple(int(p) for p in z["parents"]),
+                         ws_dims=tuple(int(v) for v in z["ws_dims"]))
             return sk, jnp.asarray(z["body_vs"]), z["body_fs"]
         sk, vs, fs = build_skinner(smpl_model, shape, init_pose, resolution=res)
         if cache:
             np.savez(cache, ws=np.asarray(sk.ws), b_min=np.asarray(sk.b_min),
                      b_max=np.asarray(sk.b_max), joints=np.asarray(sk.joints),
                      init_pose_inv=np.asarray(sk.init_pose_inv),
-                     parents=sk.parents, body_vs=np.asarray(vs), body_fs=fs)
+                     parents=np.asarray(sk.parents),
+                     ws_dims=np.asarray(sk.ws_dims),
+                     body_vs=np.asarray(vs), body_fs=fs)
         return sk, vs, fs
 
     def _empty_template(self, vcap, fcap, ecap) -> TemplateState:

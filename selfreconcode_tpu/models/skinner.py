@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.trilinear import pack_corners, trilinear_sample_packed
+from ..ops.trilinear import (pack_corners, flatten_packed,
+                             trilinear_sample_packed2d)
 from ..utils.math import batch_rodrigues, make_homo, rigid_inverse_homo
 from .smpl import SMPLModel, global_rigid_transform, shaped_verts_and_joints
 
@@ -43,19 +44,20 @@ class Skinner:
     arrays are inlined as HLO constants; with the remote-compile tunnel that
     serializes the whole weight volume into every compile request (and at the
     corner-packed production size exceeds the request limit outright)."""
-    ws: jnp.ndarray            # (D, H, W, 8, 24) corner-packed weight volume
+    ws: jnp.ndarray            # (D*H*W, 8*24) corner-packed FLAT weight table
     b_min: jnp.ndarray         # (3,)
     b_max: jnp.ndarray         # (3,)
     joints: jnp.ndarray        # (24, 3) rest skeleton
     init_pose_inv: jnp.ndarray  # (24, 4, 4) inverse of the A-pose transforms
     parents: tuple             # (24,) static kinematic tree
+    ws_dims: tuple             # static (D, H, W) of the weight grid
 
 
 jax.tree_util.register_pytree_node(
     Skinner,
     lambda s: ((s.ws, s.b_min, s.b_max, s.joints, s.init_pose_inv),
-               tuple(int(p) for p in s.parents)),
-    lambda aux, leaves: Skinner(*leaves, parents=aux))
+               (tuple(int(p) for p in s.parents), tuple(s.ws_dims))),
+    lambda aux, leaves: Skinner(*leaves, parents=aux[0], ws_dims=aux[1]))
 
 
 def fk_transforms(skinner: Skinner, poses: jnp.ndarray, trans: jnp.ndarray):
@@ -88,7 +90,7 @@ def posed_skeleton(skinner: Skinner, poses: jnp.ndarray, trans: jnp.ndarray):
 def sample_skin_weights(skinner: Skinner, pts: jnp.ndarray) -> jnp.ndarray:
     """pts (N,3) world/template coords -> (N,24) LBS weights."""
     nps = 2.0 * (pts - skinner.b_min) / (skinner.b_max - skinner.b_min) - 1.0
-    return trilinear_sample_packed(skinner.ws, nps)
+    return trilinear_sample_packed2d(skinner.ws, skinner.ws_dims, nps)
 
 
 def skinner_apply(skinner: Skinner, pts: jnp.ndarray, batch_inds: jnp.ndarray,
@@ -209,14 +211,17 @@ def build_skinner(model: SMPLModel, shape: jnp.ndarray, init_pose: np.ndarray,
         jnp.asarray(b_min, jnp.float32), jnp.asarray(b_max, jnp.float32),
         resolution=tuple(int(r) for r in resolution), smpl_verts=verts,
         smpl_ws=model.weights)
-    ws = jax.jit(pack_corners)(ws)
+    ws8 = jax.jit(pack_corners)(ws)
+    ws_dims = tuple(int(v) for v in ws8.shape[:3])
+    ws_flat = jax.jit(flatten_packed)(ws8)
     skinner = Skinner(
-        ws=ws,
+        ws=ws_flat,
         b_min=jnp.asarray(b_min, jnp.float32).reshape(3),
         b_max=jnp.asarray(b_max, jnp.float32).reshape(3),
         joints=joints,
         init_pose_inv=inv,
-        parents=model.parents,
+        parents=tuple(int(p) for p in model.parents),
+        ws_dims=ws_dims,
     )
     return skinner, verts, model.faces
 
