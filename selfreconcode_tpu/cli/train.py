@@ -135,12 +135,8 @@ def main(argv=None):
         lr = base_lr * (factor ** sum(1 for m in milestones if epoch >= m))
         bs = trainer.stage_cfg.N
         t_epoch = time.time()
-        for di, (fids, batch) in enumerate(batch_iterator(dataset, sampler,
-                                                          bs)):
-            key, sk = jax.random.split(key)
-            t0 = time.time()
-            info = trainer.train_step(np.asarray(fids), batch, lr, sk)
-            dt = time.time() - t0
+        def report(di, info, dt):
+            info = {k: float(v) for k, v in info.items()}
             out = (f"({epoch}/{di}): loss = {info['loss']:.5f}; "
                    f"color_loss: {info.get('color_loss', -1):.5f}, "
                    f"eikonal_loss: {info.get('grad_loss', -1):.5f}")
@@ -156,11 +152,27 @@ def main(argv=None):
                     f"invInfo({P},{int(info.get('inv_ok', 0))})\t"
                     f"remesh: {info['remesh']:.3f}\t{dt:.2f}s/it")
             print(out, flush=True)
+
+        # one-step-delayed reporting: the next step is DISPATCHED before the
+        # previous step's scalars are fetched, so host latency (decode,
+        # transfers, RPC dispatch) overlaps device compute
+        pending = None
+        for di, (fids, batch) in enumerate(batch_iterator(dataset, sampler,
+                                                          bs)):
+            key, sk = jax.random.split(key)
+            t0 = time.time()
+            info = trainer.train_step(np.asarray(fids), batch, lr, sk,
+                                      sync=False)
+            if pending is not None:
+                report(pending[0], pending[1], time.time() - pending[2])
+            pending = (di, info, t0)
             # debug artifact dumps at remesh ticks in the fine stage
             # (parity: optNet.draw, train.py:186-187 + save_debug)
             if (in_fine and trainer.forward_time
                     % trainer.stage_cfg.remesh_intersect == 1):
                 trainer.save_debug(debug_root, np.asarray(fids), batch)
+        if pending is not None:
+            report(pending[0], pending[1], time.time() - pending[2])
         print(f"epoch {epoch} took {time.time() - t_epoch:.1f}s", flush=True)
         save_checkpoint(osp.join(save_root, "latest.pkl"), trainer, epoch + 1)
 

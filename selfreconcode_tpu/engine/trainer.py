@@ -887,7 +887,15 @@ class Trainer:
             pass
 
     # -- one optimization step ---------------------------------------------
-    def train_step(self, fids: np.ndarray, batch: dict, lr: float, key):
+    def train_step(self, fids: np.ndarray, batch: dict, lr: float, key,
+                   sync: bool = True):
+        """One optimizer step.  sync=False leaves the info dict as device
+        arrays so the next step can be dispatched while this one still
+        computes (hides dispatch + transfer latency); the caller converts
+        with float() when it actually prints."""
+        return self._train_step_impl(fids, batch, lr, key, sync)
+
+    def _train_step_impl(self, fids, batch, lr, key, sync):
         cfg = self.stage_cfg
         if self.forward_time % cfg.remesh_intersect == 0:
             self.remesh(1.0)
@@ -914,7 +922,9 @@ class Trainer:
                             / cfg.remesh_intersect)
         self.forward_time += 1
         self.opt_times += 1
-        self.info = {k: float(v) for k, v in info.items()}
+        if sync:
+            info = {k: float(v) for k, v in info.items()}
+        self.info = info
         self.info["remesh"] = self.remesh_time
         return self.info
 
