@@ -108,6 +108,14 @@ def main(argv=None):
     if trainer.stage_cfg is None:
         trainer.set_stage("coarse")
 
+    # TPU-first data path: park the whole (uint8) dataset in device memory
+    # once; every step then gathers its batch on device with zero
+    # host->device traffic.  Falls back to the threaded host loader when the
+    # dataset exceeds the budget.
+    device_cached = trainer.preload_frames()
+    print(f"device frame cache: {'ON' if device_cached else 'off'}",
+          flush=True)
+
     nepoch = conf.get_int("train.nepoch")
     if args.max_epochs is not None:
         nepoch = min(nepoch, args.max_epochs)
@@ -157,8 +165,13 @@ def main(argv=None):
         # previous step's scalars are fetched, so host latency (decode,
         # transfers, RPC dispatch) overlaps device compute
         pending = None
-        for di, (fids, batch) in enumerate(batch_iterator(dataset, sampler,
-                                                          bs)):
+        if device_cached:
+            ids = sampler.epoch_ids()
+            groups = [ids[i:i + bs] for i in range(0, len(ids), bs)]
+            it = ((g, None) for g in groups if len(g) == bs)
+        else:
+            it = batch_iterator(dataset, sampler, bs)
+        for di, (fids, batch) in enumerate(it):
             key, sk = jax.random.split(key)
             t0 = time.time()
             info = trainer.train_step(np.asarray(fids), batch, lr, sk,

@@ -567,9 +567,9 @@ class Trainer:
         pose_type = conf.get_int("train.skinner_pose_type")
         init_pose = smpl_tmp_apose(pose_type)
         shape = jnp.asarray(dataset.shape)
-        # _v4: flat corner-packed weight table
+        # _v5: flat corner-packed weight table, float16 storage
         skinner_cache = (osp.join(data_root,
-                                  f"initial_skinner_{pose_type}_v4.npz")
+                                  f"initial_skinner_{pose_type}_v5.npz")
                          if data_root else None)
         self.skinner, self.body_vs, self.body_fs = self._build_or_load_skinner(
             smpl_model, shape, init_pose, skinner_res, skinner_cache)
@@ -601,6 +601,8 @@ class Trainer:
         nw = min(30, dataset.frame_num - 1)
         self.window = nw
         self.dctnull = dct_null_space(min(10, max(1, nw // 3)), nw)
+        self._frame_cache = None   # optional device-resident frame store
+        self._take_fn = None
 
         cam = self._host_camera()
         self.ang_thresh = ang_threshold(cam, 0.5)
@@ -886,6 +888,45 @@ class Trainer:
         except ImportError:
             pass
 
+    # -- device-resident frame cache ----------------------------------------
+    def preload_frames(self, max_bytes: int = 9 << 30,
+                       chunk: int = 16, verbose: bool = True) -> bool:
+        """Upload the WHOLE dataset (uint8 frames) to device memory once.
+
+        TPU-first data path: HBM holds every decoded frame; each step then
+        gathers its batch on device — zero per-step host->device traffic.
+        (The reference re-collates and re-uploads every DataLoader batch;
+        at 1080p that is ~10 MB/step.)  Returns False (host path kept) when
+        the estimate exceeds max_bytes.
+        """
+        ds = self.dataset
+        F, H, W = ds.frame_num, ds.H, ds.W
+        per = H * W * (3 + 1 + (3 if ds.has_normals else 0))
+        if F * per > max_bytes:
+            return False
+        imgs, masks, normals = [], [], []
+        for s in range(0, F, chunk):
+            ids = np.arange(s, min(s + chunk, F))
+            raw = ds.batch_raw(ids)
+            imgs.append(jnp.asarray(raw["img"]))
+            masks.append(jnp.asarray(raw["mask"].astype(np.uint8)))
+            if ds.has_normals and "normal" in raw:
+                normals.append(jnp.asarray(raw["normal"]))
+            if verbose and (s // chunk) % 8 == 0:
+                print(f"  preload {s + len(ids)}/{F} frames", flush=True)
+        cache = {"img": jnp.concatenate(imgs), "mask": jnp.concatenate(masks)}
+        if normals:
+            cache["normal"] = jnp.concatenate(normals)
+        self._frame_cache = cache
+        if self._take_fn is None:
+            self._take_fn = jax.jit(lambda stack, ids: stack[ids])
+        return True
+
+    def _batch_from_cache(self, fids) -> dict:
+        ids = jnp.asarray(np.asarray(fids), jnp.int32)
+        out = {k: self._take_fn(v, ids) for k, v in self._frame_cache.items()}
+        return out
+
     # -- one optimization step ---------------------------------------------
     def train_step(self, fids: np.ndarray, batch: dict, lr: float, key,
                    sync: bool = True):
@@ -905,6 +946,8 @@ class Trainer:
                              jnp.float32)
         starts, _ = self.dataset.window_indices(fids, cfg.window)
         windows = starts[:, None] + np.arange(cfg.window)[None, :]
+        if self._frame_cache is not None:
+            batch = self._batch_from_cache(fids)  # device gather, no H2D
         if "normal" in batch:
             gtNs = jnp.asarray(batch["normal"])
         else:

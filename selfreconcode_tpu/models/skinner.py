@@ -172,13 +172,18 @@ def compute_lbs_weight_field(b_min, b_max, resolution, smpl_verts, smpl_ws,
 
 def build_skinner(model: SMPLModel, shape: jnp.ndarray, init_pose: np.ndarray,
                   resolution=(129, 225, 65), b_min=None, b_max=None,
-                  margin=(0.15, 0.15, 0.20)):
+                  margin=(0.15, 0.15, 0.20), table_dtype=jnp.float16):
     """Construct the Skinner + A-pose template cloud.
 
     Returns (Skinner, tmp_body_verts (V,3), tmp_body_faces (F,3) np.int32).
     Parity: model/Deformer.py:286-295 (adaptive bbox = A-pose verts ± margin).
     The whole device-side build runs as two jitted programs (eager dispatch
     over a remote TPU is pathological — 7.7 ms/op measured).
+
+    table_dtype: storage dtype of the corner-packed weight table.  float16
+    (default) halves the gather row bytes (the hottest memory op is
+    row-size-bound) at ~5e-4 relative weight error — sub-millimeter posed-
+    vertex error, far below pixel scale.  Pass jnp.float32 for exact parity.
     """
     from .smpl import smpl_forward
 
@@ -213,7 +218,7 @@ def build_skinner(model: SMPLModel, shape: jnp.ndarray, init_pose: np.ndarray,
         smpl_ws=model.weights)
     ws8 = jax.jit(pack_corners)(ws)
     ws_dims = tuple(int(v) for v in ws8.shape[:3])
-    ws_flat = jax.jit(flatten_packed)(ws8)
+    ws_flat = jax.jit(lambda v: flatten_packed(v).astype(table_dtype))(ws8)
     skinner = Skinner(
         ws=ws_flat,
         b_min=jnp.asarray(b_min, jnp.float32).reshape(3),

@@ -103,6 +103,10 @@ def trilinear_sample_packed2d(table: jnp.ndarray, dims, coords,
     coords (N, 3) in [-1, 1] ordered (x, y, z).  Border padding,
     align_corners=False — identical semantics to trilinear_sample on the
     unpacked volume.  One row-gather per point; the blend fuses into it.
+
+    The table may be stored in a narrower dtype (float16 halves the row
+    bytes — the gather is row-size-bound on TPU, so this ~2x's the hottest
+    memory op); the blend accumulates in the coords dtype (float32).
     """
     D, H, W = dims
     C = channels
@@ -118,6 +122,8 @@ def trilinear_sample_packed2d(table: jnp.ndarray, dims, coords,
     ty = jnp.clip(y0 + ty - y0i, 0.0, 1.0)[:, None]
     tz = jnp.clip(z0 + tz - z0i, 0.0, 1.0)[:, None]
     rows = table[(z0i * H + y0i) * W + x0i]        # (N, 8*C)
+    if rows.dtype != coords.dtype:
+        rows = rows.astype(coords.dtype)           # upcast AFTER the gather
     # corner order from pack_corners: (dz, dy, dx) lexicographic
     out = 0.0
     k = 0

@@ -139,6 +139,27 @@ def test_deformer_jacobian_matches_fd(skinner_and_cloud, key):
         np.testing.assert_allclose(np.asarray(jac[:, :, c]), fd, atol=5e-3)
 
 
+def test_packed_f16_table_close_to_f32(toy):
+    """The float16 corner-packed table (gather rows halved) must reproduce
+    the f32 weights to ~1e-3 and keep posed vertices sub-millimeter."""
+    shape = jnp.zeros(10)
+    apose = smpl_mod.smpl_tmp_apose(1)
+    sk16, verts, _ = build_skinner(toy, shape, apose, resolution=(17, 25, 9))
+    sk32, _, _ = build_skinner(toy, shape, apose, resolution=(17, 25, 9),
+                               table_dtype=jnp.float32)
+    assert sk16.ws.dtype == jnp.float16
+    pts = verts[:100]
+    w16 = np.asarray(sample_skin_weights(sk16, pts))
+    w32 = np.asarray(sample_skin_weights(sk32, pts))
+    assert w16.dtype == np.float32  # upcast after the gather
+    assert np.abs(w16 - w32).max() < 2e-3
+    poses = jnp.asarray(apose).reshape(1, 24, 3) + 0.3
+    bi = jnp.zeros(100, jnp.int32)
+    o16 = np.asarray(skinner_apply(sk16, pts, bi, poses, jnp.zeros((1, 3))))
+    o32 = np.asarray(skinner_apply(sk32, pts, bi, poses, jnp.zeros((1, 3))))
+    assert np.abs(o16 - o32).max() < 1e-3  # < 1 mm at body scale
+
+
 def test_deformer_batched_equals_flat(skinner_and_cloud, key):
     skinner, verts, _ = skinner_and_cloud
     tnet = TranslatorNet(cond_size=8, multires=2)
