@@ -38,6 +38,42 @@ def build_cell_table(cell_ids: jnp.ndarray, valid: jnp.ndarray,
     return table, counts, overflow
 
 
+def build_cell_table_full(cell_ids: jnp.ndarray, valid: jnp.ndarray,
+                          n_cells: int, cap: int):
+    """build_cell_table + the pieces needed to invert the table:
+
+    returns (table, counts, overflow, starts (n_cells+1,), rank (M,)) where
+    rank[e] is entry e's position in the sorted order, so entry e lives at
+    table[cell_ids[e], rank[e] - starts[cell_ids[e]]] when that slot < cap.
+    All gather/sort only (the inverse permutation comes from a second
+    sort_key_val, not a scatter).
+    """
+    M = cell_ids.shape[0]
+    key = jnp.where(valid, cell_ids, n_cells).astype(jnp.int32)
+    payload = jnp.arange(M, dtype=jnp.int32)
+    sorted_key, sorted_idx = jax.lax.sort_key_val(key, payload)
+    cells = jnp.arange(n_cells + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_key, cells, side="left")
+    counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    gather_pos = starts[:-1, None] + slot[None, :]
+    in_range = slot[None, :] < counts[:, None]
+    gather_pos = jnp.clip(gather_pos, 0, M - 1)
+    table = jnp.where(in_range, sorted_idx[gather_pos], -1)
+    overflow = jnp.maximum(counts - cap, 0).sum()
+    _, rank = jax.lax.sort_key_val(sorted_idx, payload)
+    return table, counts, overflow, starts, rank
+
+
+def entry_ranks(sorted_idx: jnp.ndarray) -> jnp.ndarray:
+    """rank[e] = position of entry e in sorted_idx (inverse permutation via a
+    second sort — scatter-free)."""
+    M = sorted_idx.shape[0]
+    _, rank = jax.lax.sort_key_val(sorted_idx,
+                                   jnp.arange(M, dtype=jnp.int32))
+    return rank
+
+
 def bbox_cell_entries(bb_min_x, bb_min_y, bb_max_x, bb_max_y, valid,
                       cell_size: int, ncx: int, ncy: int):
     """Per-primitive 2x2 cell coverage entries.

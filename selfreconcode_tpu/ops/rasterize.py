@@ -40,7 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..render.camera import Camera, transform_points_screen
-from .binning import build_cell_table, bbox_cell_entries
+from .binning import build_cell_table, bbox_cell_entries, entry_ranks
+from . import pallas_raster as PR
 
 
 class Fragments(NamedTuple):
@@ -55,20 +56,43 @@ def _cell_geometry(H: int, W: int, cell_size: int):
     return ncy, ncx, ncy * cell_size, ncx * cell_size
 
 
+_CB = 16  # cells per Pallas grid step
+
+# escape hatch / A-B benchmarking: SRTPU_NO_PALLAS=1 forces the XLA paths
+import os as _os
+PALLAS_ENABLED = _os.environ.get("SRTPU_NO_PALLAS", "0") != "1"
+
+
+def _pad_cells(x, cb=_CB):
+    C = x.shape[0]
+    pad = (-C) % cb
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, C
+
+
 # ---------------------------------------------------------------------------
 # Mesh fragments (gather-only)
 # ---------------------------------------------------------------------------
 
 def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
                    face_valid: jnp.ndarray, footprint: int = 10,
-                   image_scale: int = 1, cell_cap: int = 48) -> Fragments:
+                   image_scale: int = 1, cell_cap: int = 48,
+                   use_pallas: bool = True) -> Fragments:
     """Nearest-face fragments at (H/s, W/s).  Non-differentiable by design
     (the reference also rasterizes under no_grad, model/network.py:491-493).
 
     footprint: upper bound on a triangle's projected bbox extent in pixels
     (MC triangles never exceed one voxel, so the caller derives this from the
     voxel size); it doubles as the cell size for binning.
+
+    When the footprint fits an 8px cell the candidate-vs-pixel evaluation
+    runs as a Pallas kernel entirely in VMEM (ops/pallas_raster.py); the
+    XLA formulation below is the fallback for larger footprints.
     """
+    if use_pallas and PALLAS_ENABLED and int(footprint) <= 8:
+        return _rasterize_mesh_pallas(cam, verts, faces, face_valid,
+                                      image_scale)
     H, W = cam.H // image_scale, cam.W // image_scale
     cs = max(8, int(footprint))
     ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
@@ -174,6 +198,72 @@ def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
     )
 
 
+def _rasterize_mesh_pallas(cam: Camera, verts: jnp.ndarray,
+                           faces: jnp.ndarray, face_valid: jnp.ndarray,
+                           image_scale: int = 1,
+                           cell_cap: int = 128) -> Fragments:
+    """Pallas-kernel fragments: same binning, but the (C, cap, P) candidate
+    evaluation never touches HBM.  Fixed cs=8, cap=128."""
+    cs = 8
+    H, W = cam.H // image_scale, cam.W // image_scale
+    ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
+
+    screen = transform_points_screen(cam, verts)
+    sxy = screen[:, :2] / image_scale
+    sz = screen[:, 2]
+    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+    p0, p1, p2 = sxy[f0], sxy[f1], sxy[f2]
+    z0, z1, z2 = sz[f0], sz[f1], sz[f2]
+    front = (z0 > 0) & (z1 > 0) & (z2 > 0) & face_valid
+
+    bb_min_x = jnp.minimum(jnp.minimum(p0[:, 0], p1[:, 0]), p2[:, 0])
+    bb_max_x = jnp.maximum(jnp.maximum(p0[:, 0], p1[:, 0]), p2[:, 0])
+    bb_min_y = jnp.minimum(jnp.minimum(p0[:, 1], p1[:, 1]), p2[:, 1])
+    bb_max_y = jnp.maximum(jnp.maximum(p0[:, 1], p1[:, 1]), p2[:, 1])
+    on_screen = (front & (bb_max_x >= 0) & (bb_min_x <= W - 1)
+                 & (bb_max_y >= 0) & (bb_min_y <= H - 1))
+
+    cells, evalid, prims = bbox_cell_entries(
+        bb_min_x, bb_min_y, bb_max_x, bb_max_y, on_screen, cs, ncx, ncy)
+    table, _, _ = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
+    cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)
+    cvalid = cand >= 0
+    cf = jnp.maximum(cand, 0)
+
+    F = faces.shape[0]
+    # one 64-byte row gather per candidate, then relayout to (C, 16, cap)
+    fdata = jnp.stack([
+        p0[:, 0], p0[:, 1], p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1],
+        z0, z1, z2, jnp.arange(F, dtype=verts.dtype),
+        jnp.zeros((F,), verts.dtype), jnp.zeros((F,), verts.dtype),
+        jnp.zeros((F,), verts.dtype), jnp.zeros((F,), verts.dtype),
+        jnp.zeros((F,), verts.dtype), jnp.zeros((F,), verts.dtype),
+    ], axis=1)                                       # (F, 16)
+    arr = fdata[cf]                                  # (C, cap, 16)
+    valid_row = cvalid.astype(verts.dtype)
+    arr = jnp.concatenate([arr[..., :10], valid_row[..., None],
+                           arr[..., 11:]], axis=-1)
+    tri = jnp.swapaxes(arr, 1, 2)                    # (C, 16, cap)
+    tri, C = _pad_cells(tri)
+
+    z, face, b0, b1, b2 = PR.mesh_fragments_cells(tri, cs, ncx, _CB)
+    z, face = z[:C], face[:C]
+    bary = jnp.stack([b0[:C], b1[:C], b2[:C]], axis=-1)   # (C, P, 3)
+    hit = face >= 0.0
+
+    def to_image(flat, fill):
+        img = flat.reshape(ncy, ncx, cs, cs, *flat.shape[2:])
+        img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp, *flat.shape[2:])
+        return img[:H, :W]
+
+    big = jnp.asarray(jnp.inf, verts.dtype)
+    return Fragments(
+        pix_to_face=to_image(jnp.where(hit, face, -1.0), -1).astype(jnp.int32),
+        bary=to_image(bary, 0.0),
+        zbuf=to_image(jnp.where(hit, z, big), big),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Point-splat soft mask (gather-only, custom_vjp)
 # ---------------------------------------------------------------------------
@@ -195,6 +285,9 @@ def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
     col = screen[:, 0] / image_scale
     row = screen[:, 1] / image_scale
     z = screen[:, 2]
+    if PALLAS_ENABLED and 2.0 * r_pix <= 8.0:
+        # splat bbox fits an 8px cell -> Pallas kernel path
+        return _splat_core_pl(col, row, z, point_valid, float(r_pix), H, W)
     return _splat_core(col, row, z, point_valid, float(r_pix), H, W, k,
                        cell_cap)
 
@@ -283,6 +376,101 @@ def _splat_core_bwd(r_pix, H, W, k, cell_cap, res, g):
 
 
 _splat_core.defvjp(_splat_core_fwd, _splat_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas splat path (cs=8, cap=128): VMEM forward + scatter-free backward
+# ---------------------------------------------------------------------------
+
+_SPLAT_CAP = 128
+
+
+def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W):
+    """Deterministic binning shared by the Pallas fwd and bwd."""
+    from .binning import build_cell_table_full
+    cs = 8
+    ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
+    ok = point_valid & (z > 0.0)
+    half = r_pix
+    cells, evalid, prims = bbox_cell_entries(
+        col - half, row - half, col + half, row + half,
+        ok & (col + half >= 0) & (col - half <= W - 1)
+        & (row + half >= 0) & (row - half <= H - 1), cs, ncx, ncy)
+    table, _, _, starts, rank = build_cell_table_full(
+        cells, evalid, ncy * ncx, _SPLAT_CAP)
+    cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)
+    return cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand
+
+
+def _splat_pts_tensor(col, row, cand):
+    """(C, 4, cap) candidate attribute tensor for the kernels."""
+    cvalid = cand >= 0
+    cp = jnp.maximum(cand, 0)
+    zero = jnp.zeros_like(col)
+    pdata = jnp.stack([col, row, zero, zero], axis=1)     # (N, 4)
+    arr = pdata[cp]                                       # (C, cap, 4)
+    arr = jnp.concatenate(
+        [arr[..., :2], cvalid[..., None].astype(col.dtype),
+         arr[..., 3:]], axis=-1)
+    return jnp.swapaxes(arr, 1, 2)                        # (C, 4, cap)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _splat_core_pl(col, row, z, point_valid, r_pix, H, W):
+    mask, _ = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W)
+    return mask
+
+
+def _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W):
+    (cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank,
+     cand) = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W)
+    pts_t = _splat_pts_tensor(col, row, cand)
+    pts_t, C = _pad_cells(pts_t)
+    acc = PR.splat_fwd_cells(pts_t, cs, ncx, r_pix, _CB)[:C]
+    img = acc.reshape(ncy, ncx, cs, cs)
+    img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp)[:H, :W]
+    return 1.0 - jnp.exp(img), img
+
+
+def _splat_core_pl_fwd(col, row, z, point_valid, r_pix, H, W):
+    mask, _ = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W)
+    return mask, (col, row, z, point_valid, mask)
+
+
+def _splat_core_pl_bwd(r_pix, H, W, res, g):
+    """Backward without any scatter: a Pallas kernel produces per-candidate
+    (d col, d row) sums over the cell's pixels; the inverse table permutation
+    (second sort, computed in the binning) gathers them back per entry, and
+    the 4 fixed entry slots per point reduce with plain adds."""
+    col, row, z, point_valid, mask = res
+    cot_acc = -g * (1.0 - mask)
+    (cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank,
+     cand) = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W)
+    C = ncy * ncx
+    cot_pad = jnp.pad(cot_acc, ((0, Hp - H), (0, Wp - W)))
+    cot_cells = jnp.moveaxis(
+        cot_pad.reshape(ncy, cs, ncx, cs), 1, 2).reshape(C, cs * cs)
+
+    pts_t = _splat_pts_tensor(col, row, cand)
+    pts_t, _ = _pad_cells(pts_t)
+    cot_cells_p, _ = _pad_cells(cot_cells)
+    gc = PR.splat_bwd_cells(pts_t, cot_cells_p, cs, ncx, r_pix, _CB)[:C]
+
+    # per-entry gather through the inverse permutation
+    slot = rank - starts[cells]
+    in_table = evalid & (slot >= 0) & (slot < _SPLAT_CAP)
+    slot_c = jnp.clip(slot, 0, _SPLAT_CAP - 1)
+    flat = gc.reshape(-1)
+    base = (cells * 2) * _SPLAT_CAP + slot_c
+    g_col_e = jnp.where(in_table, flat[base], 0.0)
+    g_row_e = jnp.where(in_table, flat[base + _SPLAT_CAP], 0.0)
+    N = col.shape[0]
+    g_col = g_col_e.reshape(4, N).sum(0)
+    g_row = g_row_e.reshape(4, N).sum(0)
+    return g_col, g_row, jnp.zeros_like(z), jnp.zeros_like(point_valid)
+
+
+_splat_core_pl.defvjp(_splat_core_pl_fwd, _splat_core_pl_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,26 @@ def test_mesh_v2_matches_scatter_coverage_and_depth():
                                np.asarray(b.bary)[sel], atol=1e-4)
 
 
+def test_mesh_pallas_matches_scatter():
+    """footprint<=8 dispatches to the Pallas kernel path (interpreted on
+    CPU); it must agree with the scatter z-buffer like the XLA path does."""
+    cam = _cam()
+    verts, faces = _random_small_tri_mesh(tri_size=0.03)
+    fv = jnp.ones((faces.shape[0],), bool)
+    a = rasterize_mesh(cam, verts, faces, fv, footprint=8)
+    b = rasterize_mesh_scatter(cam, verts, faces, fv, footprint=10)
+    ha = np.asarray(a.pix_to_face) >= 0
+    hb = np.asarray(b.pix_to_face) >= 0
+    np.testing.assert_array_equal(ha, hb)
+    za, zb = np.asarray(a.zbuf), np.asarray(b.zbuf)
+    np.testing.assert_allclose(za[ha], zb[hb], rtol=1e-5)
+    same = np.asarray(a.pix_to_face) == np.asarray(b.pix_to_face)
+    assert same[ha].mean() > 0.98
+    sel = ha & same
+    np.testing.assert_allclose(np.asarray(a.bary)[sel],
+                               np.asarray(b.bary)[sel], atol=1e-4)
+
+
 def test_mesh_v2_cell_cap_overflow_is_graceful():
     cam = _cam()
     verts, faces = _random_small_tri_mesh(n_faces=50)
