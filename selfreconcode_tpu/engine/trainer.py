@@ -437,6 +437,8 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
                                      jax.lax.stop_gradient(flat), binds,
                                      dcond_sg, poses_sg, trans_sg, r_def)
         def_verts = jax.lax.stop_gradient(def_flat).reshape(N, vcap, 3)
+        # per-frame loop beats vmap here: batched sort/gather/pallas lowers
+        # worse than N independent launches (measured 205 vs 180 ms)
         frags = [rasterize_mesh(cam_sg, def_verts[i], tmp.faces,
                                 tmp.face_valid, cfg.raster_footprint)
                  for i in range(N)]

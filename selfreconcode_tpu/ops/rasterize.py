@@ -86,13 +86,16 @@ def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
     (MC triangles never exceed one voxel, so the caller derives this from the
     voxel size); it doubles as the cell size for binning.
 
-    When the footprint fits an 8px cell the candidate-vs-pixel evaluation
-    runs as a Pallas kernel entirely in VMEM (ops/pallas_raster.py); the
-    XLA formulation below is the fallback for larger footprints.
+    When the footprint fits a 16px cell the candidate-vs-pixel evaluation
+    runs as a Pallas kernel entirely in VMEM (ops/pallas_raster.py) — 8px
+    cells/cap 128 for footprints <=8, 16px cells/cap 256 up to 16 (2x2 cell
+    coverage in the binning requires footprint <= cell size).  The XLA
+    formulation below is the fallback for larger footprints.
     """
-    if use_pallas and PALLAS_ENABLED and int(footprint) <= 8:
+    if use_pallas and PALLAS_ENABLED and int(footprint) <= 16:
+        pcs, pcap = (8, 128) if int(footprint) <= 8 else (16, 256)
         return _rasterize_mesh_pallas(cam, verts, faces, face_valid,
-                                      image_scale)
+                                      image_scale, cs=pcs, cell_cap=pcap)
     H, W = cam.H // image_scale, cam.W // image_scale
     cs = max(8, int(footprint))
     ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
@@ -200,11 +203,10 @@ def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
 
 def _rasterize_mesh_pallas(cam: Camera, verts: jnp.ndarray,
                            faces: jnp.ndarray, face_valid: jnp.ndarray,
-                           image_scale: int = 1,
+                           image_scale: int = 1, cs: int = 8,
                            cell_cap: int = 128) -> Fragments:
     """Pallas-kernel fragments: same binning, but the (C, cap, P) candidate
-    evaluation never touches HBM.  Fixed cs=8, cap=128."""
-    cs = 8
+    evaluation never touches HBM."""
     H, W = cam.H // image_scale, cam.W // image_scale
     ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
 
@@ -244,9 +246,11 @@ def _rasterize_mesh_pallas(cam: Camera, verts: jnp.ndarray,
     arr = jnp.concatenate([arr[..., :10], valid_row[..., None],
                            arr[..., 11:]], axis=-1)
     tri = jnp.swapaxes(arr, 1, 2)                    # (C, 16, cap)
-    tri, C = _pad_cells(tri)
+    # block sublane dim (cb) must be a multiple of 8 for the Mosaic lowering
+    cb = max(8, (_CB * 64) // (cs * cs))
+    tri, C = _pad_cells(tri, cb)
 
-    z, face, b0, b1, b2 = PR.mesh_fragments_cells(tri, cs, ncx, _CB)
+    z, face, b0, b1, b2 = PR.mesh_fragments_cells(tri, cs, ncx, cb)
     z, face = z[:C], face[:C]
     bary = jnp.stack([b0[:C], b1[:C], b2[:C]], axis=-1)   # (C, P, 3)
     hit = face >= 0.0

@@ -30,7 +30,9 @@ def test_mesh_v2_matches_scatter_coverage_and_depth():
     cam = _cam()
     verts, faces = _random_small_tri_mesh()
     fv = jnp.ones((faces.shape[0],), bool)
-    a = rasterize_mesh(cam, verts, faces, fv, footprint=10)
+    # use_pallas=False pins the XLA fallback path (fp 10 would now dispatch
+    # to the 16px-cell Pallas kernel, which has its own test below)
+    a = rasterize_mesh(cam, verts, faces, fv, footprint=10, use_pallas=False)
     b = rasterize_mesh_scatter(cam, verts, faces, fv, footprint=10)
     ha = np.asarray(a.pix_to_face) >= 0
     hb = np.asarray(b.pix_to_face) >= 0
@@ -54,6 +56,25 @@ def test_mesh_pallas_matches_scatter():
     fv = jnp.ones((faces.shape[0],), bool)
     a = rasterize_mesh(cam, verts, faces, fv, footprint=8)
     b = rasterize_mesh_scatter(cam, verts, faces, fv, footprint=10)
+    ha = np.asarray(a.pix_to_face) >= 0
+    hb = np.asarray(b.pix_to_face) >= 0
+    np.testing.assert_array_equal(ha, hb)
+    za, zb = np.asarray(a.zbuf), np.asarray(b.zbuf)
+    np.testing.assert_allclose(za[ha], zb[hb], rtol=1e-5)
+    same = np.asarray(a.pix_to_face) == np.asarray(b.pix_to_face)
+    assert same[ha].mean() > 0.98
+    sel = ha & same
+    np.testing.assert_allclose(np.asarray(a.bary)[sel],
+                               np.asarray(b.bary)[sel], atol=1e-4)
+
+
+def test_mesh_pallas_cs16_matches_scatter():
+    """8 < footprint <= 16 dispatches to the 16px-cell Pallas kernel."""
+    cam = _cam()
+    verts, faces = _random_small_tri_mesh(tri_size=0.05)
+    fv = jnp.ones((faces.shape[0],), bool)
+    a = rasterize_mesh(cam, verts, faces, fv, footprint=12)
+    b = rasterize_mesh_scatter(cam, verts, faces, fv, footprint=14)
     ha = np.asarray(a.pix_to_face) >= 0
     hb = np.asarray(b.pix_to_face) >= 0
     np.testing.assert_array_equal(ha, hb)
