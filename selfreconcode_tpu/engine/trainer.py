@@ -51,7 +51,8 @@ from ..utils.math import (quat2mat, inv3x3, gm_robust,
                           log_singular_values_sq_sum, dct_null_space,
                           normalize)
 from ..utils.sampling import sample_points, subsample_mask_topk
-from ..utils.meshops import build_edge_topology
+from ..utils.meshops import (build_edge_topology,
+                             build_edge_topology_device)
 from ..utils import meshops
 
 
@@ -598,6 +599,7 @@ class Trainer:
         self.info: Dict[str, float] = {}
         self._mc_caps = {}
         self._disc_cache = {}
+        self._tmpl_cache = {}
         self.mc_cap_floor = 32768  # tests lower this for tiny grids
 
         nw = min(30, dataset.frame_num - 1)
@@ -710,9 +712,9 @@ class Trainer:
             self._disc_cache[key] = fn
         return self._disc_cache[key]
 
-    def discretize_sdf(self, ratio_sdf: float, resolutions=None,
-                       iso: float = 0.0):
-        """Octree sweep + fixed-capacity MC; returns (verts np, faces np)."""
+    def _mc_device(self, ratio_sdf: float, resolutions=None):
+        """Run the jitted sweep+MC with capacity growth; returns the
+        device-resident MCResult plus host nv/nf (the only scalars fetched)."""
         res = resolutions or self.stage_cfg.resolutions
         res = tuple(tuple(int(v) for v in r) for r in res)
         caps = tuple(default_caps(res))
@@ -734,11 +736,44 @@ class Trainer:
                         max(key_caps[2], 2 * nf))
             self._mc_caps[res[-1]] = key_caps
         assert nv > 0, "tmp sdf vanished..."  # network.py:466-468
+        return mc, nv, nf
+
+    def discretize_sdf(self, ratio_sdf: float, resolutions=None,
+                       iso: float = 0.0):
+        """Octree sweep + fixed-capacity MC; returns (verts np, faces np)."""
+        mc, nv, nf = self._mc_device(ratio_sdf, resolutions)
         return (np.asarray(mc.verts[:nv]), np.asarray(mc.faces[:nf]),
                 nv, nf)
 
+    def _template_jit(self, vcap, fcap, ecap, mc_shapes):
+        """Jitted MCResult -> TemplateState (pad/slice + device edge
+        topology).  Remesh transfers two scalars, nothing else."""
+        key = (vcap, fcap, ecap, mc_shapes)
+        if key not in self._tmpl_cache:
+
+            @jax.jit
+            def fn(mc_verts, mc_faces, nv, nf):
+                nvc = min(vcap, mc_verts.shape[0])
+                nfc = min(fcap, mc_faces.shape[0])
+                verts = jnp.zeros((vcap, 3)).at[:nvc].set(mc_verts[:nvc])
+                faces = jnp.zeros((fcap, 3), jnp.int32).at[:nfc].set(
+                    mc_faces[:nfc])
+                vv = jnp.arange(vcap) < nv
+                fv = jnp.arange(fcap) < nf
+                verts = jnp.where(vv[:, None], verts, 0.0)
+                faces = jnp.where(fv[:, None], faces, 0)
+                topo = build_edge_topology_device(faces, fv, ecap)
+                return TemplateState(
+                    verts=verts, vert_valid=vv, faces=faces, face_valid=fv,
+                    edges=topo["edges"], edge_valid=topo["edge_valid"],
+                    edge_faces=topo["edge_faces"], ef_valid=topo["ef_valid"],
+                    momentum=jnp.zeros((vcap, 3)))
+
+            self._tmpl_cache[key] = fn
+        return self._tmpl_cache[key]
+
     def remesh(self, ratio_sdf: float):
-        verts, faces, nv, nf = self.discretize_sdf(ratio_sdf)
+        mc, nv, nf = self._mc_device(ratio_sdf)
         cfg = self.stage_cfg
         if nv > cfg.vcap or nf > cfg.fcap:
             # grow capacities (forces a re-jit of the step)
@@ -747,23 +782,11 @@ class Trainer:
                 fcap=_round_up(max(nf, cfg.fcap), 4096),
                 ecap=_round_up(3 * max(nf, cfg.fcap) // 2 + 4096, 4096))
             self._step_fn = None
-        topo = build_edge_topology(faces, nf, cfg.ecap)
-        v = np.zeros((cfg.vcap, 3), np.float32)
-        v[:nv] = verts
-        vv = np.zeros((cfg.vcap,), bool)
-        vv[:nv] = True
-        f = np.zeros((cfg.fcap, 3), np.int32)
-        f[:nf] = faces
-        fv = np.zeros((cfg.fcap,), bool)
-        fv[:nf] = True
-        self.state = self.state._replace(tmp=TemplateState(
-            verts=jnp.asarray(v), vert_valid=jnp.asarray(vv),
-            faces=jnp.asarray(f), face_valid=jnp.asarray(fv),
-            edges=jnp.asarray(topo["edges"]),
-            edge_valid=jnp.asarray(topo["edge_valid"]),
-            edge_faces=jnp.asarray(topo["edge_faces"]),
-            ef_valid=jnp.asarray(topo["ef_valid"]),
-            momentum=jnp.zeros((cfg.vcap, 3))))
+        tmpl = self._template_jit(
+            cfg.vcap, cfg.fcap, cfg.ecap,
+            (mc.verts.shape[0], mc.faces.shape[0]))(
+                mc.verts, mc.faces, mc.nv, mc.nf)
+        self.state = self.state._replace(tmp=tmpl)
         self.remesh_time = 1.0 + np.floor(self.remesh_time)
         return nv, nf
 

@@ -55,6 +55,16 @@ _CORNER_OFF = np.array([[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1]
                         for c in range(8)], np.int32)
 
 
+def global_edge_id_np(axis: int, i, j, k, Y: int, Z: int, sizes):
+    """Global edge id for a static axis (see layout comment in
+    marching_cubes pass 2)."""
+    if axis == 0:
+        return (i * Y + j) * Z + k
+    if axis == 1:
+        return sizes[0] + (i * (Y - 1) + j) * Z + k
+    return sizes[0] + sizes[1] + (i * Y + j) * (Z - 1) + k
+
+
 def marching_cubes(volume: jnp.ndarray, origin, spacing, iso: float,
                    vcap: int, fcap: int, active_cap: int) -> MCResult:
     """Extract the iso-surface mesh from a dense SDF grid.
@@ -85,34 +95,9 @@ def marching_cubes(volume: jnp.ndarray, origin, spacing, iso: float,
     flat_cross = jnp.concatenate([c.reshape(-1) for c in cross])
     vid = jnp.cumsum(flat_cross.astype(jnp.int32)) - flat_cross.astype(jnp.int32)
     nv = flat_cross.sum().astype(jnp.int32)
-
-    # vertex positions: for each axis block, interpolate along that axis
-    vgrid = jnp.stack(jnp.meshgrid(jnp.arange(X), jnp.arange(Y), jnp.arange(Z),
-                                   indexing="ij"), axis=-1)  # (X,Y,Z,3)
-
-    verts_out = jnp.zeros((vcap, 3), volume.dtype)
-    off = 0
-    for axis, c in enumerate(cross):
-        if axis == 0:
-            v0 = volume[:-1, :, :]; v1 = volume[1:, :, :]
-            base = vgrid[:-1, :, :, :]
-        elif axis == 1:
-            v0 = volume[:, :-1, :]; v1 = volume[:, 1:, :]
-            base = vgrid[:, :-1, :, :]
-        else:
-            v0 = volume[:, :, :-1]; v1 = volume[:, :, 1:]
-            base = vgrid[:, :, :-1, :]
-        denom = v1 - v0
-        t = jnp.where(jnp.abs(denom) > 1e-12, (iso - v0) / denom, 0.5)
-        t = jnp.clip(t, 0.0, 1.0)
-        pos = base.astype(volume.dtype)
-        pos = pos.at[..., axis].add(t)
-        pos = origin + pos * spacing
-        cflat = c.reshape(-1)
-        vids_here = vid[off:off + cflat.shape[0]]
-        idx = jnp.where(cflat, vids_here, vcap)  # drop non-crossing
-        verts_out = verts_out.at[idx].set(pos.reshape(-1, 3), mode="drop")
-        off += cflat.shape[0]
+    # vertex POSITIONS are scattered later from the compacted active cubes
+    # (3 owned edges per cube = ~1M update rows instead of the 27.8M-row
+    # dense scatter, which measured 2.0 s on v5e at 225x321x129)
 
     # ---- pass 2: active cubes -> triangles --------------------------------
     # case id per cube from the 8 corner inside bits
@@ -145,6 +130,28 @@ def marching_cubes(volume: jnp.ndarray, origin, spacing, iso: float,
     cy = (cube_ids_safe // (Z - 1)) % (Y - 1)
     cx = cube_ids_safe // ((Z - 1) * (Y - 1))
     ccase = case.reshape(-1)[cube_ids_safe]
+
+    # ---- vertex positions from owned edges --------------------------------
+    # every crossing edge (axis, i, j, k) is owned by cube (i, j, k): a
+    # crossing edge makes any containing cube's case non-uniform, hence
+    # active.  (Edges on the +boundary faces have no owner, but the bbox
+    # margins keep the surface strictly interior so those never cross.)
+    verts_out = jnp.zeros((vcap, 3), volume.dtype)
+    v000 = volume[cx, cy, cz]
+    base_f = jnp.stack([cx, cy, cz], axis=-1).astype(volume.dtype)
+    for axis in range(3):
+        dx, dy, dz = (1, 0, 0) if axis == 0 else (
+            (0, 1, 0) if axis == 1 else (0, 0, 1))
+        v1 = volume[cx + dx, cy + dy, cz + dz]
+        geid0 = global_edge_id_np(axis, cx, cy, cz, Y, Z, sizes)
+        crossing = flat_cross[geid0] & a_valid
+        denom = v1 - v000
+        t = jnp.where(jnp.abs(denom) > 1e-12, (iso - v000) / denom, 0.5)
+        t = jnp.clip(t, 0.0, 1.0)
+        pos = base_f.at[:, axis].add(t)
+        pos = origin + pos * spacing
+        idx = jnp.where(crossing, vid[geid0], vcap)
+        verts_out = verts_out.at[idx].set(pos, mode="drop")
 
     # local edge id -> global vertex id for each active cube
     # global edge id for (axis, i, j, k):

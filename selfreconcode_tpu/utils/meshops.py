@@ -106,6 +106,60 @@ def normal_consistency_loss(verts: jnp.ndarray, faces: jnp.ndarray,
 # Replaces the reference's openmesh adjacency build (model/network.py:472-477).
 # ---------------------------------------------------------------------------
 
+def build_edge_topology_device(faces: jnp.ndarray, face_valid: jnp.ndarray,
+                               edge_capacity: int):
+    """Jittable build_edge_topology: unique undirected edges + adjacent-face
+    pairs, sort/gather only (no host round-trip at the remesh boundary —
+    replaces openmesh exactly like the host variant below, but stays on
+    device; transfers through the TPU tunnel cost ~0.7 s per remesh).
+
+    faces (F,3) int32 padded, face_valid (F,) bool.  Returns dict of
+    device arrays shaped like the host variant plus num_edges () int32
+    (watermark; may exceed edge_capacity).
+    """
+    F = faces.shape[0]
+    M = 3 * F
+    e = jnp.concatenate([faces[:, (0, 1)], faces[:, (1, 2)],
+                         faces[:, (2, 0)]], axis=0)          # (M,2)
+    fid = jnp.tile(jnp.arange(F, dtype=jnp.int32), 3)
+    valid3 = jnp.tile(face_valid, 3)
+    big = jnp.int32(2 ** 30)
+    emin = jnp.where(valid3, jnp.minimum(e[:, 0], e[:, 1]), big)
+    emax = jnp.where(valid3, jnp.maximum(e[:, 0], e[:, 1]), big)
+    emin_s, emax_s, fid_s, e0_s, e1_s = jax.lax.sort(
+        (emin, emax, fid, e[:, 0], e[:, 1]), num_keys=2, is_stable=True)
+    prev_same = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        (emin_s[1:] == emin_s[:-1]) & (emax_s[1:] == emax_s[:-1])])
+    uniq = (~prev_same) & (emin_s < big)
+    num_edges = uniq.sum().astype(jnp.int32)
+    pos = jnp.cumsum(uniq.astype(jnp.int32)) - uniq.astype(jnp.int32)
+    sel = jnp.full((edge_capacity,), -1, jnp.int32)
+    lin = jnp.arange(M, dtype=jnp.int32)
+    sel = sel.at[jnp.where(uniq, pos, edge_capacity)].set(lin, mode="drop")
+    ev = sel >= 0
+    s = jnp.maximum(sel, 0)
+    # original orientation (host-variant parity); consumers are symmetric
+    edges = jnp.where(ev[:, None],
+                      jnp.stack([e0_s[s], e1_s[s]], axis=-1), 0)
+    first_face = fid_s[s]
+    nxt = jnp.minimum(s + 1, M - 1)
+    same1 = (emin_s[nxt] == emin_s[s]) & (emax_s[nxt] == emax_s[s])
+    second_face = jnp.where(same1, fid_s[nxt], 0)
+    nxt2 = jnp.minimum(s + 2, M - 1)
+    same2 = (emin_s[nxt2] == emin_s[s]) & (emax_s[nxt2] == emax_s[s])
+    interior = ev & same1 & (~same2)   # exactly two adjacent faces
+    return {
+        "edges": edges.astype(jnp.int32),
+        "edge_valid": ev,
+        "edge_faces": jnp.where(
+            interior[:, None],
+            jnp.stack([first_face, second_face], axis=-1), 0).astype(jnp.int32),
+        "ef_valid": interior,
+        "num_edges": num_edges,
+    }
+
+
 def build_edge_topology(faces: np.ndarray, nf: int, edge_capacity: int):
     """Unique undirected edges + adjacent-face pairs from (F,3) int faces.
 

@@ -99,3 +99,33 @@ def test_capacity_overflow_reports_true_counts():
                          jnp.asarray([2.0 / 32] * 3), 0.0,
                          vcap=100, fcap=100, active_cap=20000)
     assert int(res.nv) == true_nv  # watermark exceeds capacity -> caller grows
+
+
+def test_device_edge_topology_matches_host():
+    """build_edge_topology_device (the jitted remesh path) must agree with
+    the host/numpy builder on a real MC mesh, including face-pair sets."""
+    from selfreconcode_tpu.utils.meshops import (build_edge_topology,
+                                                 build_edge_topology_device)
+    verts, faces, r, c = _sphere_mesh(n=21, r=0.55)
+    nf = len(faces)
+    fcap = nf + 37
+    ecap = 3 * fcap
+    faces_p = np.zeros((fcap, 3), np.int32)
+    faces_p[:nf] = faces
+    fv = np.zeros((fcap,), bool)
+    fv[:nf] = True
+    host = build_edge_topology(faces_p, nf, ecap)
+    dev = jax.jit(lambda f, v: build_edge_topology_device(f, v, ecap))(
+        jnp.asarray(faces_p), jnp.asarray(fv))
+    ne = int(host["num_edges"])
+    assert int(dev["num_edges"]) == ne
+    np.testing.assert_array_equal(np.asarray(dev["edge_valid"]),
+                                  host["edge_valid"])
+    np.testing.assert_array_equal(np.asarray(dev["edges"])[:ne],
+                                  host["edges"][:ne])
+    np.testing.assert_array_equal(np.asarray(dev["ef_valid"]),
+                                  host["ef_valid"])
+    hf = np.sort(host["edge_faces"][:ne], axis=1)
+    df = np.sort(np.asarray(dev["edge_faces"])[:ne], axis=1)
+    sel = host["ef_valid"][:ne]
+    np.testing.assert_array_equal(df[sel], hf[sel])
