@@ -40,7 +40,8 @@ from ..models.translator import (TranslatorNet, init_translator_params,
 from ..models.render import RenderNet, init_render_params, render_apply
 from ..models.skinner import Skinner, skinner_apply, posed_skeleton
 from ..models.deformer import Deformer, deformer_apply, deformer_jacobian
-from ..render.camera import (Camera, cam_pos, view_rays, ang_threshold)
+from ..render.camera import (Camera, cam_pos, view_rays, ang_threshold,
+                             transform_points_screen)
 from ..ops.rasterize import rasterize_mesh, splat_mask
 from ..ops.sparse_sdf import sparse_sdf_grid, grid_world_coords, default_caps
 from ..ops.marching_cubes import marching_cubes
@@ -100,6 +101,9 @@ class StageStatic:
     raster_footprint: int
     weights: LossWeights
     eik_tmp: int = 4096         # template-vert eikonal subsample
+    anchor_sub: int = 16384     # sdf-anchor vertex subsample (0 = all)
+    point_inits: bool = True    # vertex-projection ray seeding (False =
+                                # fragment rasterization, reference exact)
     window: int = 30            # DCT temporal window
     dct_k: int = 10
     opt_pose: bool = True
@@ -438,15 +442,48 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
                                      jax.lax.stop_gradient(flat), binds,
                                      dcond_sg, poses_sg, trans_sg, r_def)
         def_verts = jax.lax.stop_gradient(def_flat).reshape(N, vcap, 3)
-        # per-frame loop beats vmap here: batched sort/gather/pallas lowers
-        # worse than N independent launches (measured 205 vs 180 ms)
-        frags = [rasterize_mesh(cam_sg, def_verts[i], tmp.faces,
-                                tmp.face_valid, cfg.raster_footprint)
-                 for i in range(N)]
-        p2f = jnp.stack([f.pix_to_face for f in frags])   # (N,H,W)
-        bary = jnp.stack([f.bary for f in frags])
-        init_all, valid_all = surface_inits_from_fragments(
-            jax.lax.stop_gradient(tmp.verts), tmp.faces, p2f, bary)
+        if cfg.point_inits:
+            # TPU-first ray seeding: per-pixel nearest-z PROJECTED VERTEX
+            # instead of triangle fragments.  The Newton surface solve only
+            # needs a near-surface canonical start (the reference's own
+            # bary-interpolated init, FindSurfacePs.py:5-29, is approximate
+            # too); two 178k-row scatters replace the 355k-face rasterization
+            # (75 ms -> ~4 ms per frame at the fine stage).
+            tmp_verts_sg = jax.lax.stop_gradient(tmp.verts)
+            big = jnp.asarray(3e38, jnp.float32)
+
+            def point_frags(def_v):
+                screen = transform_points_screen(cam_sg, def_v)
+                col = jnp.round(screen[:, 0]).astype(jnp.int32)
+                row = jnp.round(screen[:, 1]).astype(jnp.int32)
+                z = screen[:, 2]
+                ok = (tmp.vert_valid & (z > 0.0) & (col >= 0) & (col < W)
+                      & (row >= 0) & (row < H))
+                pix = jnp.clip(row, 0, H - 1) * W + jnp.clip(col, 0, W - 1)
+                tgt = jnp.where(ok, pix, H * W)
+                zimg = jnp.full((H * W,), big).at[tgt].min(z, mode="drop")
+                win = ok & (z <= zimg[pix])
+                vidimg = jnp.full((H * W,), vcap, jnp.int32).at[
+                    jnp.where(win, pix, H * W)].min(
+                        jnp.arange(vcap, dtype=jnp.int32), mode="drop")
+                cover = (zimg < big).reshape(H, W)
+                init = tmp_verts_sg[jnp.clip(vidimg, 0, vcap - 1)]
+                return init.reshape(H, W, 3), cover
+
+            outs = [point_frags(def_verts[i]) for i in range(N)]
+            init_all = jnp.stack([o[0] for o in outs])
+            valid_all = jnp.stack([o[1] for o in outs])
+        else:
+            # fragment-based inits (reference FindSurfacePs semantics)
+            # per-frame loop beats vmap here: batched sort/gather/pallas
+            # lowers worse than N independent launches (205 vs 180 ms)
+            frags = [rasterize_mesh(cam_sg, def_verts[i], tmp.faces,
+                                    tmp.face_valid, cfg.raster_footprint)
+                     for i in range(N)]
+            p2f = jnp.stack([f.pix_to_face for f in frags])   # (N,H,W)
+            bary = jnp.stack([f.bary for f in frags])
+            init_all, valid_all = surface_inits_from_fragments(
+                jax.lax.stop_gradient(tmp.verts), tmp.faces, p2f, bary)
         mgtMs = L.max_pool_mask(gtMs, radius_px) if radius_px > 0 else gtMs
         # ray selection: rasterized AND inside gt mask, subsampled to P
         sel_valid_px = valid_all & (gtMs > 0.0)
@@ -490,13 +527,27 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
         r_sdf = ratios[0]
         new_verts_sg = jax.lax.stop_gradient(new_tmp.verts)
 
+        k_loss, k_anchor = jax.random.split(key)
+
         def outer_wrap(pr, bk):
             total, info = outer_loss(
                 pr, bk, new_verts_sg, new_tmp.vert_valid, fids, init_pts,
                 sel_ok, ray_rows, ray_cols, ray_binds, gtCs, gtNs, windows,
-                ratios, key, deformer)
-            sdf_tv = sdf_value_only(pr["sdf"], sdf_net, new_verts_sg, r_sdf)
-            anchor = L.sdf_anchor_loss(sdf_tv, new_tmp.vert_valid, 0.0)
+                ratios, k_loss, deformer)
+            # sdf anchor (network.py:690-694).  The reference evaluates every
+            # template vertex; at fine-stage vert counts the MLP fwd+grad on
+            # all of them was ~100 ms/step (the whole outer-pass mystery gap),
+            # so the mean is estimated on a fresh random subsample each step —
+            # expectation-identical, and the anchor is a mean-field glue term.
+            if cfg.anchor_sub > 0 and cfg.anchor_sub < vcap:
+                aidx, asel = subsample_mask_topk(
+                    k_anchor, new_tmp.vert_valid, cfg.anchor_sub)
+                averts = new_verts_sg[aidx]
+                avalid = asel
+            else:
+                averts, avalid = new_verts_sg, new_tmp.vert_valid
+            sdf_tv = sdf_value_only(pr["sdf"], sdf_net, averts, r_sdf)
+            anchor = L.sdf_anchor_loss(sdf_tv, avalid, 0.0)
             info["pc_loss_sdf"] = anchor
             total = total + anchor * w.pc_weight
             return total, info

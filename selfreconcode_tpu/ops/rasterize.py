@@ -425,9 +425,10 @@ def _splat_core_pl(col, row, z, point_valid, r_pix, H, W):
     return mask
 
 
-def _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W):
-    (cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank,
-     cand) = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W)
+def _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, bin_=None):
+    if bin_ is None:
+        bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W)
+    (cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand) = bin_
     pts_t = _splat_pts_tensor(col, row, cand)
     pts_t, C = _pad_cells(pts_t)
     acc = PR.splat_fwd_cells(pts_t, cs, ncx, r_pix, _CB)[:C]
@@ -437,19 +438,23 @@ def _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W):
 
 
 def _splat_core_pl_fwd(col, row, z, point_valid, r_pix, H, W):
-    mask, _ = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W)
-    return mask, (col, row, z, point_valid, mask)
+    # binning products ride in the residuals so the backward skips the sort
+    bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W)
+    mask, _ = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, bin_)
+    return mask, (col, row, z, point_valid, mask,
+                  bin_[5], bin_[6], bin_[7], bin_[8], bin_[9])
 
 
 def _splat_core_pl_bwd(r_pix, H, W, res, g):
     """Backward without any scatter: a Pallas kernel produces per-candidate
     (d col, d row) sums over the cell's pixels; the inverse table permutation
-    (second sort, computed in the binning) gathers them back per entry, and
-    the 4 fixed entry slots per point reduce with plain adds."""
-    col, row, z, point_valid, mask = res
+    (second sort, computed in the binning's forward pass and carried in the
+    residuals) gathers them back per entry, and the 4 fixed entry slots per
+    point reduce with plain adds."""
+    col, row, z, point_valid, mask, cells, evalid, starts, rank, cand = res
     cot_acc = -g * (1.0 - mask)
-    (cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank,
-     cand) = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W)
+    cs = 8
+    ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
     C = ncy * ncx
     cot_pad = jnp.pad(cot_acc, ((0, Hp - H), (0, Wp - W)))
     cot_cells = jnp.moveaxis(

@@ -123,3 +123,21 @@ def test_subsample_mask_topk(key):
     idx, sel = np.asarray(idx), np.asarray(sel)
     assert sel.sum() == 5
     assert set(idx[sel]) == set(range(5))
+
+
+def test_eigvals_sym3_matches_eigvalsh():
+    from selfreconcode_tpu.utils.math import eigvals_sym3
+    rng = np.random.default_rng(3)
+    J = rng.standard_normal((500, 3, 3)).astype(np.float32)
+    A = np.einsum("...ji,...jk->...ik", J, J)
+    ref = np.sort(np.linalg.eigvalsh(A.astype(np.float64)), -1)
+    got = np.sort(np.asarray(eigvals_sym3(jnp.asarray(A))), -1)
+    scale = np.abs(ref).max(-1, keepdims=True)
+    np.testing.assert_allclose(got, ref, atol=2e-4 * scale.max())
+    # degenerate (isotropic) case
+    iso = np.repeat(np.eye(3, dtype=np.float32)[None] * 2.5, 4, axis=0)
+    got_iso = np.asarray(eigvals_sym3(jnp.asarray(iso)))
+    np.testing.assert_allclose(got_iso, 2.5, atol=1e-6)
+    # differentiable
+    g = jax.grad(lambda a: eigvals_sym3(a).sum())(jnp.asarray(A[:8]))
+    assert np.isfinite(np.asarray(g)).all()

@@ -21,6 +21,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--h", type=int, default=1080)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--stage", default="coarse")
+    ap.add_argument("--n", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -32,7 +34,9 @@ def main():
     os.makedirs(root, exist_ok=True)
     tr, ds = build_synthetic_trainer(root, n_frames=32, H=args.h, W=args.h,
                                      resolutions=PROD_RES)
-    tr.set_stage("coarse")
+    tr.set_stage(args.stage)
+    if args.n is not None and tr.stage_cfg.N != args.n:
+        tr.override_stage(N=args.n)
     print("setup done", flush=True)
     t0 = time.time()
     nv, nf = tr.remesh(1.0)
@@ -94,7 +98,9 @@ def main():
     surface_points = make_surface_points_fn(tr.sdf_net, tr.trans_net,
                                             surf_cfg)
     N, H, W = cfg.N, cfg.H, cfg.W
-    P = cfg.sample_pix * N
+    w = cfg.weights
+    P = (cfg.sample_pix * N if w.sample_pix_num == 0
+         else w.sample_pix_num * N)
 
     @jax.jit
     def surf_fwd(state, deformer, init_pts, ray_rows, ray_cols, ray_binds):
@@ -116,6 +122,65 @@ def main():
 
     bench("surface solve fwd (10 iters)", surf_fwd, state, deformer,
           init_pts, ray_rows, ray_cols, ray_binds)
+
+    # IFT backward through the solve (custom_vjp) with a dummy cotangent
+    @jax.jit
+    def surf_bwd(state, deformer, init_pts, ray_rows, ray_cols, ray_binds):
+        params, bank = state.params, state.bank
+        cam = camera_from_bank(bank, H, W, cfg)
+        poses = bank["poses"][fids_j]
+        trans = bank["trans"][fids_j]
+        dcond = bank["cond_deformer"][fids_j]
+        pix = jnp.stack([ray_cols.astype(jnp.float32),
+                         ray_rows.astype(jnp.float32),
+                         jnp.ones((P,), jnp.float32)], axis=-1)
+        rays = view_rays(cam, pix)
+        c = cam_pos(cam)
+
+        def f(sdf_p, trans_p):
+            pts, done = surface_points(
+                jnp.asarray([1.0, 0.5]), deformer, sdf_p, trans_p, dcond,
+                poses, trans, rays, c, init_pts, ray_binds)
+            return pts.sum()
+
+        return jax.grad(f, argnums=(0, 1))(params["sdf"], params["trans"])
+
+    bench("surface solve fwd+IFT bwd", surf_bwd, state, deformer,
+          init_pts, ray_rows, ray_cols, ray_binds)
+
+    from selfreconcode_tpu.models.sdf import sdf_grad
+    from selfreconcode_tpu.models.deformer import deformer_jacobian
+    eik_n = P + cfg.eik_tmp
+    eikpts = jnp.zeros((eik_n + eik_n // 6, 3))
+    bench(f"sdf_grad eikonal-size ({eikpts.shape[0]})", jax.jit(
+        lambda pr, q: sdf_grad(pr, tr.sdf_net, q, 1.0)),
+        state.params["sdf"], eikpts)
+
+    drn = 2 * (P + cfg.eik_tmp) * N
+    drpts = jnp.zeros((drn, 3))
+    drbinds = jnp.zeros((drn,), jnp.int32)
+    dcond0 = state.bank["cond_deformer"][fids_j]
+    poses0 = state.bank["poses"][fids_j]
+    trans0 = state.bank["trans"][fids_j]
+
+    @jax.jit
+    def defregu_jac(tp, deformer, q):
+        from selfreconcode_tpu.models.translator import translator_apply
+        conds = dcond0[drbinds]
+
+        def tfun(qq):
+            out, _ = translator_apply(tp, tr.trans_net, qq, conds, 0.5)
+            return out
+
+        cols = []
+        for i in range(3):
+            e = jnp.zeros_like(q).at[:, i].set(1.0)
+            _, col = jax.jvp(tfun, (q,), (e,))
+            cols.append(col)
+        return jnp.stack(cols, axis=-1)
+
+    bench(f"def_regu translator jac ({drn})", defregu_jac,
+          state.params["trans"], deformer, drpts)
 
     # full outer for reference
     d_full = bench("outer_pass full", lambda *a: step.outer_pass(*a),
