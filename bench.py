@@ -31,14 +31,22 @@ def bench_train_step():
         step, args = _hotpath_step()
         name = "hotpath_step"
 
-    # warmup/compile
-    out = step(*args)
-    jax.block_until_ready(out)
+    # warmup/compile.  NOTE: jax.block_until_ready does NOT sync on the
+    # axon remote-TPU tunnel; only a value fetch round-trips, so the loop
+    # queues n executions and fetches one scalar from the LAST output (the
+    # device queue is in-order).
+    import numpy as np
+
+    def fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return np.asarray(leaf.reshape(-1)[:1])
+
+    fetch(step(*args))
     n = 10
     t0 = time.perf_counter()
     for _ in range(n):
         out = step(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     dt = (time.perf_counter() - t0) / n
     return name, 1.0 / dt
 

@@ -19,8 +19,13 @@ def build_cell_table(cell_ids: jnp.ndarray, valid: jnp.ndarray,
     valid (M,) bool -> (table (n_cells, cap) int32 entry-index or -1,
     counts (n_cells,), overflow ()).
 
-    Entry order within a cell follows the sort (stable by construction of the
-    key); entries beyond `cap` are dropped and counted in `overflow`.
+    Entry order within a cell follows the sort (stable by construction of
+    the key).  Cells with more than `cap` entries keep an EVEN STRIDE of
+    their run (positions floor(slot*count/cap)) rather than the first cap:
+    entry order is spatially coherent (MC emission order), so a prefix
+    truncation would drop a contiguous spatial chunk of the cell, while the
+    stride keeps coverage uniform.  Dropped entries are counted in
+    `overflow`.
     """
     M = cell_ids.shape[0]
     key = jnp.where(valid, cell_ids, n_cells).astype(jnp.int32)
@@ -30,7 +35,8 @@ def build_cell_table(cell_ids: jnp.ndarray, valid: jnp.ndarray,
     starts = jnp.searchsorted(sorted_key, cells, side="left")
     counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
     slot = jnp.arange(cap, dtype=jnp.int32)
-    gather_pos = starts[:-1, None] + slot[None, :]          # (n_cells, cap)
+    off = _strided_slot(slot, counts, cap)                  # (n_cells, cap)
+    gather_pos = starts[:-1, None] + off
     in_range = slot[None, :] < counts[:, None]
     gather_pos = jnp.clip(gather_pos, 0, M - 1)
     table = jnp.where(in_range, sorted_idx[gather_pos], -1)
@@ -38,15 +44,22 @@ def build_cell_table(cell_ids: jnp.ndarray, valid: jnp.ndarray,
     return table, counts, overflow
 
 
+def _strided_slot(slot, counts, cap: int):
+    """Per-cell entry offset for table slot: identity when the cell fits,
+    floor(slot*count/cap) when it overflows (even subsample of the run)."""
+    over = counts[:, None] > cap
+    strided = (slot[None, :] * counts[:, None]) // cap
+    return jnp.where(over, strided, slot[None, :])
+
+
 def build_cell_table_full(cell_ids: jnp.ndarray, valid: jnp.ndarray,
                           n_cells: int, cap: int):
     """build_cell_table + the pieces needed to invert the table:
 
     returns (table, counts, overflow, starts (n_cells+1,), rank (M,)) where
-    rank[e] is entry e's position in the sorted order, so entry e lives at
-    table[cell_ids[e], rank[e] - starts[cell_ids[e]]] when that slot < cap.
-    All gather/sort only (the inverse permutation comes from a second
-    sort_key_val, not a scatter).
+    rank[e] is entry e's position in the sorted order; invert with
+    `table_slot_of_rank`.  All gather/sort only (the inverse permutation
+    comes from a second sort_key_val, not a scatter).
     """
     M = cell_ids.shape[0]
     key = jnp.where(valid, cell_ids, n_cells).astype(jnp.int32)
@@ -56,13 +69,29 @@ def build_cell_table_full(cell_ids: jnp.ndarray, valid: jnp.ndarray,
     starts = jnp.searchsorted(sorted_key, cells, side="left")
     counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
     slot = jnp.arange(cap, dtype=jnp.int32)
-    gather_pos = starts[:-1, None] + slot[None, :]
+    off = _strided_slot(slot, counts, cap)
+    gather_pos = starts[:-1, None] + off
     in_range = slot[None, :] < counts[:, None]
     gather_pos = jnp.clip(gather_pos, 0, M - 1)
     table = jnp.where(in_range, sorted_idx[gather_pos], -1)
     overflow = jnp.maximum(counts - cap, 0).sum()
     _, rank = jax.lax.sort_key_val(sorted_idx, payload)
     return table, counts, overflow, starts, rank
+
+
+def table_slot_of_rank(r, count, cap: int):
+    """Invert the (possibly strided) slot selection: for an entry at
+    run-offset r in a cell with `count` entries, return (slot, selected).
+    Non-overflow: slot = r, selected iff r < count <= cap... (r < cap).
+    Overflow: slot s maps to offset (s*count)//cap, strictly increasing, so
+    s = ceil(r*cap/count) and selected iff it maps back exactly."""
+    over = count > cap
+    cnt = jnp.maximum(count, 1)
+    s_over = (r * cap + cnt - 1) // cnt
+    hit_over = ((s_over * cnt) // cap == r) & (s_over < cap)
+    slot = jnp.where(over, s_over, r)
+    selected = jnp.where(over, hit_over, r < cap)
+    return slot, selected & (r >= 0)
 
 
 def entry_ranks(sorted_idx: jnp.ndarray) -> jnp.ndarray:

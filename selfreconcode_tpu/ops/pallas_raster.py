@@ -13,7 +13,8 @@ to 128):
 * mesh fragments:  tri   (C, 16, cap)  f32 rows =
       [p0x p0y p1x p1y p2x p2y z0 z1 z2 face_id valid pad...]
   -> z (C, P), face (C, P) (f32-encoded id, -1 = miss), bary (C, P, 3)
-* point splat:     pts   (C, 4, cap)   f32 rows = [col row valid pad]
+* point splat:     pts   (C, 2, cap)   f32 rows = [col row]; invalid
+  entries carry col = BIG (checked in-kernel)
   -> acc (C, P) accumulated log(1 - w) terms
   backward: cot (C, P) -> per-candidate (gcol, grow) (C, 2, cap)
 
@@ -140,13 +141,13 @@ def _splat_fwd_kernel(pts_ref, acc_ref, *, cb: int, cs: int, ncx: int,
     lx = (pix % cs).astype(jnp.float32)
     ly = (pix // cs).astype(jnp.float32)
     for j in range(cb):
-        blk = pts_ref[j]                           # (4, cap)
+        blk = pts_ref[j]                           # (2, cap)
         c = i * cb + j
         cx0 = ((c % ncx) * cs).astype(jnp.float32)
         cy0 = ((c // ncx) * cs).astype(jnp.float32)
         col = blk[0][:, None]
         row = blk[1][:, None]
-        valid = blk[2][:, None] > 0.5
+        valid = col < BIG / 2                      # sentinel -> invalid
         dc = col - (cx0 + lx)
         dr = row - (cy0 + ly)
         w = 1.0 - (dc * dc + dr * dr) * r2_inv
@@ -157,16 +158,16 @@ def _splat_fwd_kernel(pts_ref, acc_ref, *, cb: int, cs: int, ncx: int,
 
 def splat_fwd_cells(pts: jnp.ndarray, cs: int, ncx: int, r_pix: float,
                     cb: int = 16):
-    """pts (C, 4, cap) -> acc (C, cs*cs) accumulated log(1-w)."""
+    """pts (C, 2, cap) -> acc (C, cs*cs) accumulated log(1-w)."""
     C, A, cap = pts.shape
-    assert A == 4 and C % cb == 0 and cap % 128 == 0, (pts.shape, cb)
+    assert A == 2 and C % cb == 0 and cap % 64 == 0, (pts.shape, cb)
     P = cs * cs
     kern = functools.partial(_splat_fwd_kernel, cb=cb, cs=cs, ncx=ncx,
                              cap=cap, r2_inv=1.0 / float(r_pix * r_pix))
     return pl.pallas_call(
         kern,
         grid=(C // cb,),
-        in_specs=[pl.BlockSpec((cb, 4, cap), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((cb, 2, cap), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((cb, P), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -183,14 +184,14 @@ def _splat_bwd_kernel(pts_ref, cot_ref, g_ref, *, cb: int, cs: int,
     lx = (pix % cs).astype(jnp.float32)
     ly = (pix // cs).astype(jnp.float32)
     for j in range(cb):
-        blk = pts_ref[j]
+        blk = pts_ref[j]                           # (2, cap)
         cot = cot_ref[j][None, :]                  # (1, P)
         c = i * cb + j
         cx0 = ((c % ncx) * cs).astype(jnp.float32)
         cy0 = ((c // ncx) * cs).astype(jnp.float32)
         col = blk[0][:, None]
         row = blk[1][:, None]
-        valid = blk[2][:, None] > 0.5
+        valid = col < BIG / 2                      # sentinel -> invalid
         dc = col - (cx0 + lx)
         dr = row - (cy0 + ly)
         w = 1.0 - (dc * dc + dr * dr) * r2_inv
@@ -205,15 +206,15 @@ def _splat_bwd_kernel(pts_ref, cot_ref, g_ref, *, cb: int, cs: int,
 
 def splat_bwd_cells(pts: jnp.ndarray, cot: jnp.ndarray, cs: int, ncx: int,
                     r_pix: float, cb: int = 16):
-    """pts (C,4,cap), cot (C, cs*cs) -> per-candidate grads (C, 2, cap)."""
+    """pts (C,2,cap), cot (C, cs*cs) -> per-candidate grads (C, 2, cap)."""
     C, A, cap = pts.shape
-    assert A == 4 and C % cb == 0 and cap % 128 == 0, (pts.shape, cb)
+    assert A == 2 and C % cb == 0 and cap % 64 == 0, (pts.shape, cb)
     kern = functools.partial(_splat_bwd_kernel, cb=cb, cs=cs, ncx=ncx,
                              cap=cap, r2_inv=1.0 / float(r_pix * r_pix))
     return pl.pallas_call(
         kern,
         grid=(C // cb,),
-        in_specs=[pl.BlockSpec((cb, 4, cap), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((cb, 2, cap), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((cb, cs * cs), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],

@@ -386,7 +386,9 @@ _splat_core.defvjp(_splat_core_fwd, _splat_core_bwd)
 # Pallas splat path (cs=8, cap=128): VMEM forward + scatter-free backward
 # ---------------------------------------------------------------------------
 
-_SPLAT_CAP = 128
+_SPLAT_CAP = 64   # per-cell candidate slots; production density is ~16-40
+                  # per 8px cell (MC verts project ~2.4px apart), overflow
+                  # drops points in already-saturated cells (graceful)
 
 
 def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W):
@@ -407,16 +409,16 @@ def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W):
 
 
 def _splat_pts_tensor(col, row, cand):
-    """(C, 4, cap) candidate attribute tensor for the kernels."""
+    """(C, 2, cap) candidate attribute tensor: rows [col, row]; invalid
+    entries carry a sentinel col >= BIG/2 (checked in-kernel), so the
+    tensor is half the width of a separate validity row."""
     cvalid = cand >= 0
     cp = jnp.maximum(cand, 0)
-    zero = jnp.zeros_like(col)
-    pdata = jnp.stack([col, row, zero, zero], axis=1)     # (N, 4)
-    arr = pdata[cp]                                       # (C, cap, 4)
-    arr = jnp.concatenate(
-        [arr[..., :2], cvalid[..., None].astype(col.dtype),
-         arr[..., 3:]], axis=-1)
-    return jnp.swapaxes(arr, 1, 2)                        # (C, 4, cap)
+    pdata = jnp.stack([col, row], axis=1)                 # (N, 2)
+    arr = pdata[cp]                                       # (C, cap, 2)
+    arr = jnp.where(cvalid[..., None], arr,
+                    jnp.asarray(PR.BIG, col.dtype))
+    return jnp.swapaxes(arr, 1, 2)                        # (C, 2, cap)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -465,9 +467,14 @@ def _splat_core_pl_bwd(r_pix, H, W, res, g):
     cot_cells_p, _ = _pad_cells(cot_cells)
     gc = PR.splat_bwd_cells(pts_t, cot_cells_p, cs, ncx, r_pix, _CB)[:C]
 
-    # per-entry gather through the inverse permutation
-    slot = rank - starts[cells]
-    in_table = evalid & (slot >= 0) & (slot < _SPLAT_CAP)
+    # per-entry gather through the inverse permutation (stride-aware: cells
+    # over capacity keep an even subsample of their run, binning.py)
+    from .binning import table_slot_of_rank
+    counts_c = starts[jnp.minimum(cells + 1, starts.shape[0] - 1)] \
+        - starts[cells]
+    slot, selected = table_slot_of_rank(rank - starts[cells], counts_c,
+                                        _SPLAT_CAP)
+    in_table = evalid & selected
     slot_c = jnp.clip(slot, 0, _SPLAT_CAP - 1)
     flat = gc.reshape(-1)
     base = (cells * 2) * _SPLAT_CAP + slot_c

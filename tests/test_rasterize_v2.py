@@ -142,3 +142,33 @@ def test_splat_v2_camera_grads_flow():
     g = np.asarray(jax.grad(loss)(cam.T))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_splat_pallas_grad_fd_under_overflow():
+    """Cells over _SPLAT_CAP keep an even stride of their entries; the
+    backward must invert exactly that selection.  FD-check dL/dpoints on a
+    dense cluster that overflows the per-cell capacity."""
+    from selfreconcode_tpu.ops import rasterize as R
+    cam = _cam(64, 64)
+    rng = np.random.default_rng(7)
+    # ~600 points projecting into a ~20x20 px area -> >>64 entries per cell
+    pts = np.zeros((600, 3), np.float32)
+    pts[:, :2] = rng.uniform(-0.1, 0.1, (600, 2))
+    pts[:, 2] = rng.uniform(-0.05, 0.05, 600)
+    pts = jnp.asarray(pts)
+    pv = jnp.ones((600,), bool)
+    r = 0.05  # r_pix ~ 1.6 -> Pallas path
+
+    def loss(p):
+        m = R.splat_mask(cam, p, pv, r)
+        return (m * jnp.arange(64 * 64).reshape(64, 64)).sum()
+
+    g = np.asarray(jax.grad(loss)(pts))
+    eps = 2e-3
+    for i in [3, 77, 311]:
+        for ax in range(2):
+            pp = np.asarray(pts).copy(); pp[i, ax] += eps
+            pm = np.asarray(pts).copy(); pm[i, ax] -= eps
+            fd = (float(loss(jnp.asarray(pp))) - float(loss(jnp.asarray(pm)))) / (2 * eps)
+            got = g[i, ax]
+            assert abs(fd - got) <= 0.05 * max(1.0, abs(fd)), (i, ax, fd, got)
