@@ -57,9 +57,11 @@ def load_smpl_pickle(path: str) -> SMPLModel:
     shapedirs = shapedirs.reshape(-1, num_betas).T
     posedirs = np.array(model["posedirs"], dtype=np.float64)
     posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
-    j_regressor = np.array(model["J_regressor"], dtype=np.float64)
-    if hasattr(j_regressor, "todense"):
-        j_regressor = np.asarray(j_regressor.todense())
+    raw_jr = model["J_regressor"]
+    if hasattr(raw_jr, "todense"):  # scipy sparse (the real asset ships CSC)
+        j_regressor = np.asarray(raw_jr.todense(), dtype=np.float64)
+    else:
+        j_regressor = np.array(raw_jr, dtype=np.float64)
     weights = np.array(model["weights"], dtype=np.float64)
     parents = np.array(model["kintree_table"])[0].astype(np.int32)
     parents[0] = 0

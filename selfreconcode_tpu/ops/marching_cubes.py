@@ -36,6 +36,13 @@ class MCResult(NamedTuple):
     faces: jnp.ndarray   # (fcap, 3) int32 vertex ids, zero-padded
     nv: jnp.ndarray      # () int32 true vertex count (may exceed vcap!)
     nf: jnp.ndarray      # () int32 true face count (may exceed fcap!)
+    na: jnp.ndarray      # () int32 true active-cube count (may exceed active_cap!)
+    n_boundary: jnp.ndarray  # () int32 crossings on ownerless +boundary edges
+    #   na > active_cap means dropped cubes whose owned-edge vertex positions
+    #   were never written (silent corruption) — callers MUST grow+rejit, nv/nf
+    #   alone can both fit while na overflows.  n_boundary > 0 means the
+    #   surface touched the sweep bbox (margin invariant violated): those
+    #   vertices stay at the world origin.
 
 
 # Static numpy helpers ------------------------------------------------------
@@ -95,6 +102,14 @@ def marching_cubes(volume: jnp.ndarray, origin, spacing, iso: float,
     flat_cross = jnp.concatenate([c.reshape(-1) for c in cross])
     vid = jnp.cumsum(flat_cross.astype(jnp.int32)) - flat_cross.astype(jnp.int32)
     nv = flat_cross.sum().astype(jnp.int32)
+    # crossings on +boundary edges have no owning cube (their positions are
+    # never written below); count them so margin violations are visible.
+    # axis 0 edge grid (X-1,Y,Z): ownerless iff j==Y-1 or k==Z-1; etc.
+    n_boundary = (
+        cross[0][:, -1, :].sum() + cross[0][:, :-1, -1].sum()
+        + cross[1][-1, :, :].sum() + cross[1][:-1, :, -1].sum()
+        + cross[2][-1, :, :].sum() + cross[2][:-1, -1, :].sum()
+    ).astype(jnp.int32)
     # vertex POSITIONS are scattered later from the compacted active cubes
     # (3 owned edges per cube = ~1M update rows instead of the 27.8M-row
     # dense scatter, which measured 2.0 s on v5e at 225x321x129)
@@ -123,7 +138,10 @@ def marching_cubes(volume: jnp.ndarray, origin, spacing, iso: float,
     # face offsets: exclusive cumsum of per-cube tri counts in compacted order
     tri_counts = jnp.where(a_valid, ncubetris.reshape(-1)[cube_ids_safe], 0)
     tri_off = jnp.cumsum(tri_counts) - tri_counts
-    nf = tri_counts.sum().astype(jnp.int32)
+    # true counts over ALL active cubes (not just the retained ones), so
+    # active_cap overflow is detectable by the caller's watermark check
+    na = aflat.sum().astype(jnp.int32)
+    nf = jnp.where(active, ncubetris, 0).sum().astype(jnp.int32)
 
     # decode cube coords
     cz = cube_ids_safe % (Z - 1)
@@ -191,4 +209,5 @@ def marching_cubes(volume: jnp.ndarray, origin, spacing, iso: float,
     faces_out = faces_out.at[dest.reshape(-1)].set(
         tvids.reshape(-1, 3), mode="drop")
 
-    return MCResult(verts=verts_out, faces=faces_out, nv=nv, nf=nf)
+    return MCResult(verts=verts_out, faces=faces_out, nv=nv, nf=nf,
+                    na=na, n_boundary=n_boundary)

@@ -37,6 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret() -> bool:
+    # SRTPU_PALLAS_INTERPRET=1 forces interpreter mode even when the default
+    # backend is a TPU — needed when a program is lowered for CPU devices
+    # (e.g. the multi-chip dryrun on a virtual CPU mesh) while a real chip is
+    # also present: `interpret` is static, the backend check alone is wrong.
+    import os
+    if os.environ.get("SRTPU_PALLAS_INTERPRET", "") == "1":
+        return True
     return jax.default_backend() == "cpu"
 
 

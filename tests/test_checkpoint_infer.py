@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from selfreconcode_tpu.engine.trainer import build_synthetic_trainer
 from selfreconcode_tpu.engine.checkpoint import save_checkpoint, load_checkpoint
 from selfreconcode_tpu.engine.inference import make_infer_fn

@@ -1,5 +1,8 @@
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow
 import numpy as np
 
 from selfreconcode_tpu.models.sdf import SDFNet, init_sdf_params, sdf_apply

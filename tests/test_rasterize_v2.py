@@ -1,5 +1,8 @@
 """Gather-only (binned) rasterizers vs the scatter-based references."""
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 import numpy as np
 

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from selfreconcode_tpu.models.sdf import SDFNet, init_sdf_params
 from selfreconcode_tpu.models.translator import TranslatorNet, init_translator_params
 from selfreconcode_tpu.models.skinner import build_skinner

@@ -3,6 +3,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from selfreconcode_tpu.engine.trainer import build_synthetic_trainer
 
 
