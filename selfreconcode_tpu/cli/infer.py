@@ -24,6 +24,7 @@ def main(argv=None):
     parser.add_argument("--C", action="store_true", help="overlay on gt img")
     parser.add_argument("--nColor", action="store_true")
     parser.add_argument("--toy-smpl", action="store_true")
+    parser.add_argument("--synthetic-body", action="store_true")
     args = parser.parse_args(argv)
     assert not (args.nV and args.nI)
 
@@ -44,7 +45,10 @@ def main(argv=None):
              "renderer": conf.get_int("render_net.condlen")}
     dataset = SceneDataset(data_root, conds)
 
-    if args.toy_smpl:
+    if args.synthetic_body:
+        from ..models.synthetic_body import synthetic_body_model
+        smpl = synthetic_body_model()
+    elif args.toy_smpl:
         from ..models.smpl import toy_smpl_model
         smpl = toy_smpl_model()
     else:

@@ -16,7 +16,7 @@ import os.path as osp
 import numpy as np
 
 
-def _load_trainer(rec_root: str, toy_smpl: bool):
+def _load_trainer(rec_root: str, toy_smpl: bool, synthetic_body: bool = False):
     from ..config import parse_file
     from ..data import SceneDataset
     from ..engine.trainer import Trainer
@@ -28,7 +28,10 @@ def _load_trainer(rec_root: str, toy_smpl: bool):
     conds = {"deformer": conf.get_int("mlp_deformer.condlen"),
              "renderer": conf.get_int("render_net.condlen")}
     dataset = SceneDataset(data_root, conds)
-    if toy_smpl:
+    if synthetic_body:
+        from ..models.synthetic_body import synthetic_body_model
+        smpl = synthetic_body_model()
+    elif toy_smpl:
         from ..models.smpl import toy_smpl_model
         smpl = toy_smpl_model()
     else:
@@ -45,6 +48,7 @@ def prepare(argv=None):
     parser.add_argument("--rec-root", required=True)
     parser.add_argument("--num", type=int, default=120)
     parser.add_argument("--toy-smpl", action="store_true")
+    parser.add_argument("--synthetic-body", action="store_true")
     args = parser.parse_args(argv)
 
     import jax
@@ -52,7 +56,8 @@ def prepare(argv=None):
     from ..texture.uv import load_obj_with_uv
     from ..models.deformer import deformer_apply
 
-    trainer, dataset = _load_trainer(args.rec_root, args.toy_smpl)
+    trainer, dataset = _load_trainer(args.rec_root, args.toy_smpl,
+                                     args.synthetic_body)
     obj = osp.join(args.rec_root, "template", "uvmap.obj")
     verts, uvs, faces_v, faces_vt = load_obj_with_uv(obj)
     print(f"uvmap.obj: {len(verts)} verts, {len(faces_v)} faces, "
@@ -89,6 +94,9 @@ def extract(argv=None):
     parser.add_argument("--rec-root", required=True)
     parser.add_argument("--tex-size", type=int, default=1024)
     parser.add_argument("--save-name", default="texture.png")
+    parser.add_argument("--k-best", type=int, default=8,
+                        help="per-texel best-viewing-angle slots for the "
+                             "median aggregation (1 = weighted mean)")
     args = parser.parse_args(argv)
 
     import cv2
@@ -107,7 +115,7 @@ def extract(argv=None):
         imgs.append(img[:, :, ::-1].astype(np.float32) / 255.0)  # RGB [0,1]
     tex, w = bake_texture(cam, list(data["def_vs"]), imgs, data["faces_v"],
                           data["faces_vt"], data["uvs"],
-                          tex_size=args.tex_size)
+                          tex_size=args.tex_size, k_best=args.k_best)
     out = inpaint_texture(tex, w)
     cv2.imwrite(osp.join(args.rec_root, args.save_name), out[:, :, ::-1])
     print("texture written:", osp.join(args.rec_root, args.save_name),

@@ -42,6 +42,9 @@ def main(argv=None):
     parser.add_argument("--save-folder", default=None)
     parser.add_argument("--toy-smpl", action="store_true",
                         help="use the synthetic SMPL stand-in (no pkl assets)")
+    parser.add_argument("--synthetic-body", action="store_true",
+                        help="use the watertight 6890-vert SMPL-schema body "
+                             "(models/synthetic_body.py; acceptance runs)")
     parser.add_argument("--max-epochs", type=int, default=None,
                         help="cap epochs (debug)")
     args = parser.parse_args(argv)
@@ -65,7 +68,10 @@ def main(argv=None):
     print(f"scene data use {dataset.gender} smpl; {dataset.frame_num} frames "
           f"{dataset.H}x{dataset.W}")
 
-    if args.toy_smpl:
+    if args.synthetic_body:
+        from ..models.synthetic_body import synthetic_body_model
+        smpl = synthetic_body_model()
+    elif args.toy_smpl:
         from ..models.smpl import toy_smpl_model
         smpl = toy_smpl_model()
     else:
@@ -159,6 +165,12 @@ def main(argv=None):
             out += (f"\n\trayInfo({P},{int(info.get('ray_converged', 0))})\t"
                     f"invInfo({P},{int(info.get('inv_ok', 0))})\t"
                     f"remesh: {info['remesh']:.3f}\t{dt:.2f}s/it")
+            # raster-cell overflow telemetry: density regressions must be
+            # visible, not silent (dropped splats/faces degrade the mask)
+            ovf = int(info.get("splat_overflow", 0)) + \
+                int(info.get("frag_overflow", 0))
+            if ovf > 0:
+                out += f"\tOVERFLOW({ovf})"
             print(out, flush=True)
 
         # one-step-delayed reporting: the next step is DISPATCHED before the

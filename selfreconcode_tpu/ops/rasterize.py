@@ -48,6 +48,10 @@ class Fragments(NamedTuple):
     pix_to_face: jnp.ndarray  # (H, W) int32, -1 for empty
     bary: jnp.ndarray         # (H, W, 3) perspective-correct barycentrics
     zbuf: jnp.ndarray         # (H, W) depth (+inf empty)
+    # dropped candidate entries across all overfull cells (0 = every face got
+    # a table slot).  Nonzero means the scene is denser than the cell_cap
+    # tuning and masks degrade silently — surface this in telemetry.
+    overflow: jnp.ndarray = np.int32(0)
 
 
 def _cell_geometry(H: int, W: int, cell_size: int):
@@ -117,7 +121,7 @@ def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
 
     cells, evalid, prims = bbox_cell_entries(
         bb_min_x, bb_min_y, bb_max_x, bb_max_y, on_screen, cs, ncx, ncy)
-    table, counts, _ = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
+    table, counts, ovf = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
     # entry index -> face id (entries enumerate faces 4x)
     F = faces.shape[0]
     cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)  # (C,cap)
@@ -198,6 +202,7 @@ def rasterize_mesh(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
         pix_to_face=to_image(face_win, -1).astype(jnp.int32),
         bary=to_image(bary, 0.0),
         zbuf=to_image(jnp.where(hit, zmin, big), big),
+        overflow=ovf.astype(jnp.int32),
     )
 
 
@@ -227,7 +232,7 @@ def _rasterize_mesh_pallas(cam: Camera, verts: jnp.ndarray,
 
     cells, evalid, prims = bbox_cell_entries(
         bb_min_x, bb_min_y, bb_max_x, bb_max_y, on_screen, cs, ncx, ncy)
-    table, _, _ = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
+    table, _, ovf = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
     cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)
     cvalid = cand >= 0
     cf = jnp.maximum(cand, 0)
@@ -265,6 +270,7 @@ def _rasterize_mesh_pallas(cam: Camera, verts: jnp.ndarray,
         pix_to_face=to_image(jnp.where(hit, face, -1.0), -1).astype(jnp.int32),
         bary=to_image(bary, 0.0),
         zbuf=to_image(jnp.where(hit, z, big), big),
+        overflow=ovf.astype(jnp.int32),
     )
 
 
@@ -274,13 +280,18 @@ def _rasterize_mesh_pallas(cam: Camera, verts: jnp.ndarray,
 
 def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
                radius_ndc: float, footprint: int = 9,
-               image_scale: int = 1, cell_cap: int = 96) -> jnp.ndarray:
+               image_scale: int = 1, cell_cap: int = 96,
+               return_overflow: bool = False):
     """Soft mask (H/s, W/s) in [0, 1] from world-space points.
 
     radius_ndc: splat radius in NDC units (the reference's
     point_render.radius config value).  Differentiable w.r.t. points and the
     camera; forward is a binned per-pixel gather, backward gathers the
     cotangent at each point's k x k footprint (both scatter-free).
+
+    return_overflow=True additionally returns the () int32 count of dropped
+    candidate entries in overfull bin cells (telemetry: nonzero means the
+    splat cloud is denser than the cap and the mask is degrading silently).
     """
     H, W = cam.H // image_scale, cam.W // image_scale
     r_pix = radius_ndc * (cam.W / image_scale) / 2.0
@@ -291,16 +302,21 @@ def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
     z = screen[:, 2]
     if PALLAS_ENABLED and 2.0 * r_pix <= 8.0:
         # splat bbox fits an 8px cell -> Pallas kernel path
-        return _splat_core_pl(col, row, z, point_valid, float(r_pix), H, W)
-    return _splat_core(col, row, z, point_valid, float(r_pix), H, W, k,
-                       cell_cap)
+        mask, ovf = _splat_core_pl(col, row, z, point_valid, float(r_pix),
+                                   H, W)
+    else:
+        mask, ovf = _splat_core(col, row, z, point_valid, float(r_pix), H, W,
+                                k, cell_cap)
+    if return_overflow:
+        return mask, ovf
+    return mask
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _splat_core(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
-    mask, _ = _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k,
-                              cell_cap)
-    return mask
+    mask, _, ovf = _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k,
+                                   cell_cap)
+    return mask, ovf
 
 
 def _log_term(dc, dr, r_pix):
@@ -320,13 +336,13 @@ def _splat_bin(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
         col - half, row - half, col + half, row + half,
         ok & (col + half >= 0) & (col - half <= W - 1)
         & (row + half >= 0) & (row - half <= H - 1), cs, ncx, ncy)
-    table, _, _ = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
+    table, _, ovf = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
     cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)
     cell_ids = jnp.arange(ncy * ncx)
     lx = jnp.arange(cs)
     px = ((cell_ids % ncx) * cs)[:, None] + jnp.tile(lx, cs)[None, :]
     py = ((cell_ids // ncx) * cs)[:, None] + jnp.repeat(lx, cs)[None, :]
-    return (cs, ncy, ncx, Hp, Wp, table, cand, px, py)
+    return (cs, ncy, ncx, Hp, Wp, table, cand, px, py, ovf)
 
 
 def _splat_cell_acc(col, row, cand, px, py, r_pix):
@@ -342,18 +358,18 @@ def _splat_cell_acc(col, row, cand, px, py, r_pix):
 
 
 def _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
-    (cs, ncy, ncx, Hp, Wp, table, cand, px, py) = _splat_bin(
+    (cs, ncy, ncx, Hp, Wp, table, cand, px, py, ovf) = _splat_bin(
         col, row, z, point_valid, r_pix, H, W, k, cell_cap)
     acc = _splat_cell_acc(col, row, cand, px, py, r_pix)
     img = acc.reshape(ncy, ncx, cs, cs)
     img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp)[:H, :W]
-    return 1.0 - jnp.exp(img), img
+    return 1.0 - jnp.exp(img), img, ovf.astype(jnp.int32)
 
 
 def _splat_core_fwd(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
-    mask, acc_img = _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k,
-                                    cell_cap)
-    return mask, (col, row, z, point_valid, mask)
+    mask, acc_img, ovf = _splat_fwd_impl(col, row, z, point_valid, r_pix, H,
+                                         W, k, cell_cap)
+    return (mask, ovf), (col, row, z, point_valid, mask)
 
 
 def _splat_core_bwd(r_pix, H, W, k, cell_cap, res, g):
@@ -362,9 +378,10 @@ def _splat_core_bwd(r_pix, H, W, k, cell_cap, res, g):
     per-candidate grads back to points (tiny vs the 50x larger naive
     per-point-footprint scatter)."""
     col, row, z, point_valid, mask = res
+    g, _ = g  # (mask cotangent, int overflow cotangent — discarded)
     # dL/dacc[px] = -g[px] * exp(acc[px]) = -g[px] * (1 - mask[px])
     cot_acc = -g * (1.0 - mask)
-    (cs, ncy, ncx, Hp, Wp, table, cand, px, py) = _splat_bin(
+    (cs, ncy, ncx, Hp, Wp, table, cand, px, py, _ovf) = _splat_bin(
         col, row, z, point_valid, r_pix, H, W, k, cell_cap)
     # image -> per-cell pixel layout (C, P)
     cot_pad = jnp.pad(cot_acc, ((0, Hp - H), (0, Wp - W)))
@@ -402,10 +419,10 @@ def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W):
         col - half, row - half, col + half, row + half,
         ok & (col + half >= 0) & (col - half <= W - 1)
         & (row + half >= 0) & (row - half <= H - 1), cs, ncx, ncy)
-    table, _, _, starts, rank = build_cell_table_full(
+    table, _, ovf, starts, rank = build_cell_table_full(
         cells, evalid, ncy * ncx, _SPLAT_CAP)
     cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)
-    return cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand
+    return cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand, ovf
 
 
 def _splat_pts_tensor(col, row, cand):
@@ -423,28 +440,28 @@ def _splat_pts_tensor(col, row, cand):
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _splat_core_pl(col, row, z, point_valid, r_pix, H, W):
-    mask, _ = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W)
-    return mask
+    mask, _, ovf = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W)
+    return mask, ovf
 
 
 def _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, bin_=None):
     if bin_ is None:
         bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W)
-    (cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand) = bin_
+    (cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand, ovf) = bin_
     pts_t = _splat_pts_tensor(col, row, cand)
     pts_t, C = _pad_cells(pts_t)
     acc = PR.splat_fwd_cells(pts_t, cs, ncx, r_pix, _CB)[:C]
     img = acc.reshape(ncy, ncx, cs, cs)
     img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp)[:H, :W]
-    return 1.0 - jnp.exp(img), img
+    return 1.0 - jnp.exp(img), img, ovf.astype(jnp.int32)
 
 
 def _splat_core_pl_fwd(col, row, z, point_valid, r_pix, H, W):
     # binning products ride in the residuals so the backward skips the sort
     bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W)
-    mask, _ = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, bin_)
-    return mask, (col, row, z, point_valid, mask,
-                  bin_[5], bin_[6], bin_[7], bin_[8], bin_[9])
+    mask, _, ovf = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, bin_)
+    return (mask, ovf), (col, row, z, point_valid, mask,
+                         bin_[5], bin_[6], bin_[7], bin_[8], bin_[9])
 
 
 def _splat_core_pl_bwd(r_pix, H, W, res, g):
@@ -454,6 +471,7 @@ def _splat_core_pl_bwd(r_pix, H, W, res, g):
     residuals) gathers them back per entry, and the 4 fixed entry slots per
     point reduce with plain adds."""
     col, row, z, point_valid, mask, cells, evalid, starts, rank, cand = res
+    g, _ = g  # (mask cotangent, int overflow cotangent — discarded)
     cot_acc = -g * (1.0 - mask)
     cs = 8
     ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)

@@ -9,10 +9,14 @@ texel aggregation is a view-angle-weighted scatter (weight = (n.v)^p sharply
 favouring frontal views — a streaming analogue of the reference's
 keep-best-50 + median), and holes are Telea-inpainted with cv2.
 
-Deviation note: the reference's per-texel median over the 50 best-normal
-samples is replaced by a weighted mean with p=8; memory stays O(texture)
-instead of O(texture x 50) and the result is visually equivalent for diffuse
-clothing (the intended use).
+Robust aggregation (texture_mesh_extract.py:62-153 parity): per texel, the
+K=8 best-viewing-angle samples are kept in fixed slots (one candidate per
+frame — the frame's own best-weight sample for that texel) and the final
+color is the per-channel median over the filled slots, exactly the
+reference's keep-best + nan-median scheme at K=8 instead of 50.  A median
+over the best-K is robust to specular highlights and misregistered frames
+that a weighted mean smears in.  `k_best=1` falls back to the streaming
+view-angle-weighted mean (O(texture) memory, fine for clean diffuse input).
 """
 from __future__ import annotations
 
@@ -55,15 +59,23 @@ def load_obj_with_uv(path: str):
 
 def bake_texture(cam: Camera, def_verts_per_frame, images, faces_v, faces_vt,
                  uvs, tex_size: int = 1024, weight_pow: float = 8.0,
-                 footprint: int = 64):
+                 footprint: int = 64, k_best: int = 8):
     # footprint must bound the projected triangle size; user-decimated UV
     # meshes have much larger triangles than MC output, hence 64 by default.
     """Accumulate a UV texture from posed frames.
 
     def_verts_per_frame: list of (V,3) np arrays (deformed template verts);
     images: list of (H,W,3) float images in [0,1] (same camera).
+    k_best > 1: per-texel median over the k best-viewing-angle frame samples
+    (the reference's 50-slot best-normal + nan-median aggregation,
+    texture_mesh_extract.py:62-153, at k=8); k_best <= 1: streaming
+    view-angle-weighted mean.
     Returns (texture (tex,tex,3) float in [0,1], weight (tex,tex)).
     """
+    use_median = k_best > 1
+    if use_median:
+        slot_w = np.zeros((tex_size, tex_size, k_best), np.float32)
+        slot_c = np.zeros((tex_size, tex_size, k_best, 3), np.float32)
     acc = np.zeros((tex_size, tex_size, 3), np.float64)
     wacc = np.zeros((tex_size, tex_size), np.float64)
     faces_v_j = jnp.asarray(faces_v)
@@ -105,9 +117,36 @@ def bake_texture(cam: Camera, def_verts_per_frame, images, faces_v, faces_vt,
             np.int64), 0, tex_size - 1)
         cols = img[sel]
         ws = w[sel]
-        np.add.at(acc, (ty, tx), cols * ws[:, None])
-        np.add.at(wacc, (ty, tx), ws)
+        if use_median:
+            # ONE candidate per texel per frame (its best-weight pixel), then
+            # a vectorized insert into each texel's weakest slot if better.
+            lin = ty * tex_size + tx
+            order = np.lexsort((-ws, lin))
+            lin_s = lin[order]
+            first = np.r_[True, lin_s[1:] != lin_s[:-1]]
+            pick = order[first]
+            py, px = ty[pick], tx[pick]
+            pw = ws[pick].astype(np.float32)
+            pc = cols[pick].astype(np.float32)
+            smin = slot_w[py, px].argmin(-1)
+            better = pw > slot_w[py, px, smin]
+            py, px, smin = py[better], px[better], smin[better]
+            slot_w[py, px, smin] = pw[better]
+            slot_c[py, px, smin] = pc[better]
+        else:
+            np.add.at(acc, (ty, tx), cols * ws[:, None])
+            np.add.at(wacc, (ty, tx), ws)
 
+    if use_median:
+        import warnings
+        filled = slot_w > 0.0
+        cand = np.where(filled[..., None], slot_c, np.nan)
+        with warnings.catch_warnings():
+            # unobserved texels are all-NaN by design; they become holes
+            warnings.simplefilter("ignore", RuntimeWarning)
+            tex = np.nanmedian(cand, axis=2)
+        tex = np.nan_to_num(tex, nan=0.0)
+        return tex.astype(np.float32), slot_w.sum(-1).astype(np.float32)
     tex = acc / np.clip(wacc[..., None], 1e-8, None)
     return tex.astype(np.float32), wacc.astype(np.float32)
 

