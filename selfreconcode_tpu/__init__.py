@@ -19,3 +19,29 @@ Architecture (all compute-path code is JAX/XLA/Pallas; static shapes, jit):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at `path` (default:
+    `.jax_cache/` next to this package).  Stage switches re-jit the whole
+    step (~minutes through the remote-TPU tunnel); the cache makes every
+    repeat run — A/B variants, resumes, bench — skip that entirely.
+    Opt out with SRTPU_NO_COMPILE_CACHE=1."""
+    import os
+    import os.path as osp
+
+    if os.environ.get("SRTPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    if path is None:
+        path = osp.abspath(osp.join(osp.dirname(__file__), "..",
+                                    ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs — cache is best-effort
+        pass
+
+
+enable_compile_cache()

@@ -53,3 +53,102 @@ def test_query_count_is_sublinear():
     sparse_sdf_grid(counting_fn, RESOLUTIONS, B_MIN, B_MAX, 0.0, caps)
     total = sum(calls)
     assert total < 33 ** 3  # fewer points than one dense fine pass
+
+
+def test_conflict_loop_rescues_underestimated_boundary():
+    """A boundary mask that under-covers (dilate=0 + a thin feature) must be
+    repaired by the conflict-resolution loop (seg3d_lossless.py:348-422)."""
+    def thin_fn(pts):
+        # thin plate |y| - 0.04 union sphere: plate is invisible at level-0
+        # spacing, so the upsample's interpolated signs conflict with truth
+        plate = jnp.abs(pts[:, 1]) - 0.04
+        sph = jnp.linalg.norm(pts - jnp.asarray([0.0, 0.5, 0.0]), axis=-1) - 0.3
+        return jnp.minimum(plate, sph)
+
+    res = [(9, 9, 9), (17, 17, 17), (33, 33, 33)]
+    caps = default_caps(res)
+    no_conf = sparse_sdf_grid(thin_fn, res, B_MIN, B_MAX, 0.0, caps,
+                              dilate=0, conflict_iters=0)
+    with_conf = sparse_sdf_grid(thin_fn, res, B_MIN, B_MAX, 0.0, caps,
+                                dilate=0, conflict_iters=8)
+    spacing, origin = grid_world_coords((33, 33, 33), B_MIN, B_MAX)
+    idx = np.stack(np.meshgrid(*[np.arange(33)] * 3, indexing="ij"), -1)
+    pts = np.asarray(origin) + idx * np.asarray(spacing)
+    dense = np.asarray(thin_fn(jnp.asarray(pts.reshape(-1, 3)))).reshape(
+        33, 33, 33)
+    mism_no = ((np.asarray(no_conf) > 0) != (dense > 0)).sum()
+    mism_with = ((np.asarray(with_conf) > 0) != (dense > 0)).sum()
+    # the conflict loop must strictly repair sign errors the plain sweep left
+    assert mism_with < mism_no or (mism_no == 0 and mism_with == 0)
+    assert mism_with == 0
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_sign_exact_post_igr_body():
+    """Sign-exact parity vs dense on a TRAINED (post-IGR) MLP SDF of the
+    watertight body at a fine-class grid (VERDICT r1 #3 done-criterion; the
+    full (321,417,225) check is tools/parity_sweep.py, run on TPU and
+    recorded in PARITY.md).  A small net keeps the dense pass CPU-feasible;
+    what matters is the non-analytic wiggly field, not the width."""
+    import jax
+    from selfreconcode_tpu.models.sdf import (SDFNet, init_sdf_params,
+                                              sdf_value_only)
+    from selfreconcode_tpu.models.synthetic_body import synthetic_body_model
+    from selfreconcode_tpu.models.smpl import smpl_forward, smpl_tmp_apose
+    from selfreconcode_tpu.engine.igr_init import igr_pretrain
+    from selfreconcode_tpu.utils import meshops
+
+    body = synthetic_body_model(n_verts=2000, res=48)
+    verts, _, _ = smpl_forward(body, jnp.zeros((1, 10)),
+                               jnp.asarray(smpl_tmp_apose(1))[None])
+    verts = verts[0]
+    fv = jnp.ones((body.faces.shape[0],), bool)
+    normals = meshops.vertex_normals(verts, jnp.asarray(body.faces), fv)
+    net = SDFNet(hidden=(128,) * 4, skip_in=(2,), feature_size=32)
+    params = init_sdf_params(jax.random.PRNGKey(0), net)
+    params, _ = igr_pretrain(jax.random.PRNGKey(7), params, net, verts,
+                             normals, n_iters=200, batch_size=2000)
+
+    margin = np.asarray([0.15, 0.15, 0.20], np.float32)
+    b_min = np.asarray(verts.min(0)) - margin
+    b_max = np.asarray(verts.max(0)) + margin
+    resolutions = [(11, 14, 8), (21, 27, 15), (41, 53, 29), (81, 105, 57)]
+    caps = default_caps(resolutions)
+
+    def qf(p):
+        return sdf_value_only(params, net, p, 1.0)
+
+    vol = np.asarray(jax.jit(lambda: sparse_sdf_grid(
+        qf, resolutions, b_min, b_max, 0.0, caps, conflict_iters=4))())
+
+    spacing, origin = grid_world_coords(resolutions[-1], b_min, b_max)
+    W, H, D = resolutions[-1]
+    idx = np.stack(np.meshgrid(np.arange(W), np.arange(H), np.arange(D),
+                               indexing="ij"), -1).reshape(-1, 3)
+    pts = np.asarray(origin) + idx.astype(np.float32) * np.asarray(spacing)
+    dense = np.empty(W * H * D, np.float32)
+    fn = jax.jit(lambda p: sdf_value_only(params, net, p, 1.0))
+    for s in range(0, len(pts), 1 << 18):
+        dense[s:s + (1 << 18)] = np.asarray(
+            fn(jnp.asarray(pts[s:s + (1 << 18)])))
+    dense = dense.reshape(W, H, D)
+    mism = int(((vol > 0) != (dense > 0)).sum())
+    assert mism == 0, f"{mism} sign mismatches sweep vs dense"
+    # "lossless" = marching cubes sees only TRUE values: every voxel adjacent
+    # to a sign crossing (the only values MC vertex placement reads) must be
+    # an exact query, not an interpolation.  Voxels merely near the surface
+    # but not touching a crossing may stay interpolated — MC never reads them.
+    sign = vol > 0
+    cross = np.zeros_like(sign)
+    for ax in range(3):
+        s = np.swapaxes(sign, 0, ax)
+        c = np.swapaxes(cross, 0, ax)
+        edge = s[:-1] != s[1:]
+        c[:-1] |= edge
+        c[1:] |= edge
+        cross = np.swapaxes(c, 0, ax)
+    assert cross.sum() > 1000  # the body surface is actually in the grid
+    assert np.abs(vol[cross] - dense[cross]).max() < 1e-5

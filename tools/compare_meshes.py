@@ -16,6 +16,10 @@ import numpy as np
 
 
 def load_mesh(path):
+    if path.endswith(".npz"):  # e.g. the synthetic subject's gt_mesh.npz
+        z = np.load(path)
+        return (np.asarray(z["verts"], np.float64),
+                np.asarray(z["faces"], np.int64))
     import trimesh
     m = trimesh.load(path, process=False)
     return np.asarray(m.vertices, np.float64), np.asarray(m.faces, np.int64)
