@@ -21,12 +21,35 @@ Architecture (all compute-path code is JAX/XLA/Pallas; static shapes, jit):
 __version__ = "0.1.0"
 
 
+def _machine_tag() -> str:
+    """Short hash of this host's CPU feature set.
+
+    XLA:CPU persists AOT results keyed only by the HLO — loading an
+    artifact compiled on a host with a wider ISA (e.g. avx512fp16) on a
+    narrower one logs cpu_aot_loader errors and can SIGILL.  Scoping the
+    cache directory per CPU-feature-set makes stale cross-machine
+    artifacts unreachable instead of loadable."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     """Point JAX's persistent compilation cache at `path` (default:
-    `.jax_cache/` next to this package).  Stage switches re-jit the whole
-    step (~minutes through the remote-TPU tunnel); the cache makes every
-    repeat run — A/B variants, resumes, bench — skip that entirely.
-    Opt out with SRTPU_NO_COMPILE_CACHE=1."""
+    `.jax_cache/<cpu-feature-hash>/` next to this package).  Stage switches
+    re-jit the whole step (~minutes through the remote-TPU tunnel); the
+    cache makes every repeat run — A/B variants, resumes, bench — skip that
+    entirely.  Opt out with SRTPU_NO_COMPILE_CACHE=1."""
     import os
     import os.path as osp
 
@@ -36,7 +59,7 @@ def enable_compile_cache(path: str | None = None) -> None:
 
     if path is None:
         path = osp.abspath(osp.join(osp.dirname(__file__), "..",
-                                    ".jax_cache"))
+                                    ".jax_cache", _machine_tag()))
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -36,8 +36,11 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False):
     trans_net = trainer.trans_net
     render_net = trainer.render_net
     H, W = trainer.dataset.H, trainer.dataset.W
+    # The reference loosens the distance threshold 5e-5 -> 1e-4 and runs 30
+    # iters at inference (model/network.py:342-363); w1/w2 stay at the
+    # SurfaceConfig defaults shared with training.
     cfg = SurfaceConfig(n_iters=30, dthreshold=1e-4,
-                        athreshold_deg=trainer.ang_thresh, w1=3.05, w2=1.0)
+                        athreshold_deg=trainer.ang_thresh)
 
     @jax.jit
     def _infer_frame(params, bank, tmp, fid, gt_mask, deformer):

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -202,8 +203,11 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
     The deformer (LBS weight volume) is threaded through the jitted passes as
     an ARGUMENT — closure capture would inline it as an HLO constant (fatal
     with the remote compiler; see Skinner's docstring)."""
-    surf_cfg = SurfaceConfig(n_iters=cfg.surf_iters, dthreshold=5e-5,
-                             athreshold_deg=ang_thresh_deg, w1=3.05, w2=1.0)
+    # dthreshold/w1/w2 come from SurfaceConfig defaults (the reference's
+    # training values, utils/FindSurfacePs.py:121 / model/network.py:539);
+    # inference overrides dthreshold only (see engine/inference.py).
+    surf_cfg = SurfaceConfig(n_iters=cfg.surf_iters,
+                             athreshold_deg=ang_thresh_deg)
     surface_points = make_surface_points_fn(sdf_net, trans_net, surf_cfg)
     w = cfg.weights
     N, H, W = cfg.N, cfg.H, cfg.W
@@ -1168,3 +1172,68 @@ def build_synthetic_bench_step(sample_rays: int = 6144, H: int = 512,
     run.step = step
     run.trainer = tr
     return run, args
+
+
+def bench_throughput(sample_rays: int = 6144, H: int = 512, W: int = 512,
+                     iters: int = 30, n_batches: int = 8):
+    """Honest steady-state throughput for bench.py.
+
+    Unlike a fixed-args loop this measures a real optimization trajectory:
+    the optimizer state threads through, every iteration feeds a DIFFERENT
+    frame batch (rotating through the synthetic scene) with its own RNG key,
+    and the warm remesh cost is measured and amortized at the stage's
+    remesh_intersect cadence — the number is what a user would see per
+    optimizer step, not a best-case replay of one batch.
+    """
+    import tempfile
+    root = osp.join(tempfile.gettempdir(), f"srtpu_bench_{H}")
+    os.makedirs(root, exist_ok=True)
+    res = [(17, 17, 17), (33, 33, 33), (65, 65, 65)]
+    tr, ds = build_synthetic_trainer(
+        root, n_frames=32, H=H, W=W,
+        resolutions={s: res for s in ("coarse", "medium", "fine")})
+    tr.set_stage("fine")
+    tr.remesh(1.0)
+    step = tr._get_step_fn()
+    cfg = tr.stage_cfg
+    ratios = jnp.asarray([1.0, 0.5, 1.0], jnp.float32)
+    lr = jnp.asarray(1e-4, jnp.float32)
+
+    batches = []
+    for i in range(n_batches):
+        fids = (np.arange(cfg.N) + i * cfg.N) % ds.frame_num
+        batch = ds.batch(fids)
+        starts, _ = ds.window_indices(fids, cfg.window)
+        windows = starts[:, None] + np.arange(cfg.window)[None, :]
+        batches.append((jnp.asarray(batch["img"]),
+                        jnp.asarray(batch["mask"]),
+                        jnp.zeros((cfg.N, cfg.H, cfg.W, 3)),
+                        jnp.asarray(fids, jnp.int32),
+                        jnp.asarray(windows, jnp.int32),
+                        jax.random.PRNGKey(1000 + i)))
+
+    def fetch(x):
+        return float(np.asarray(x))  # value fetch = the only tunnel sync
+
+    state = tr.state
+    gtCs, gtMs, gtNs, fids, windows, key = batches[0]
+    state, info = step(state, gtCs, gtMs, gtNs, fids, windows, ratios, lr,
+                       key)
+    fetch(info["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        gtCs, gtMs, gtNs, fids, windows, key = batches[i % n_batches]
+        state, info = step(state, gtCs, gtMs, gtNs, fids, windows, ratios,
+                           lr, key)
+    fetch(info["loss"])
+    step_s = (time.perf_counter() - t0) / iters
+
+    # warm remesh at the trained state, amortized at the stage cadence
+    tr.state = state
+    t0 = time.perf_counter()
+    tr.remesh(1.0)
+    remesh_s = time.perf_counter() - t0
+    eff_s = step_s + remesh_s / max(cfg.remesh_intersect, 1)
+    return 1.0 / eff_s, {"step_s": step_s, "remesh_s": remesh_s,
+                         "remesh_intersect": cfg.remesh_intersect}

@@ -19,8 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: this host has ONE cpu core, so compile time
-# dominates the suite; warm runs skip it entirely.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# dominates the suite; warm runs skip it entirely.  Scoped per CPU feature
+# set — XLA:CPU AOT artifacts from a wider-ISA host can SIGILL here.
+from selfreconcode_tpu import _machine_tag  # noqa: E402
+
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
+                          _machine_tag())
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
