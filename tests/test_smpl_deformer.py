@@ -117,6 +117,8 @@ def test_posed_skeleton_matches_fk(skinner_and_cloud):
     np.testing.assert_allclose(np.asarray(js), np.asarray(results[:, :, :3, 3]), atol=1e-6)
 
 
+@pytest.mark.slow  # finite-difference sweep; jacfwd correctness is also pinned by
+# test_deformer_batched_equals_flat + the IFT gradient FD test in test_surface
 def test_deformer_jacobian_matches_fd(skinner_and_cloud, key):
     skinner, verts, _ = skinner_and_cloud
     tnet = TranslatorNet(cond_size=8, multires=2)

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from selfreconcode_tpu.ops.sparse_sdf import (
     default_caps, grid_world_coords, sparse_sdf_grid)
@@ -14,6 +15,8 @@ def sphere_fn(pts):
     return jnp.linalg.norm(pts, axis=-1) - 0.55
 
 
+@pytest.mark.slow  # full-grid dense comparison; sweep coverage stays fast
+# via test_sparse_plus_mc_sphere / test_conflict_loop_rescues_underestimated_boundary
 def test_sparse_matches_dense_near_surface():
     caps = default_caps(RESOLUTIONS)
     vol = sparse_sdf_grid(sphere_fn, RESOLUTIONS, B_MIN, B_MAX, 0.0, caps)
@@ -81,9 +84,6 @@ def test_conflict_loop_rescues_underestimated_boundary():
     # the conflict loop must strictly repair sign errors the plain sweep left
     assert mism_with < mism_no or (mism_no == 0 and mism_with == 0)
     assert mism_with == 0
-
-
-import pytest  # noqa: E402
 
 
 @pytest.mark.slow
