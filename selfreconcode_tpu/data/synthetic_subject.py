@@ -177,6 +177,14 @@ def make_synthetic_subject(root: str, n_frames: int = 450, H: int = 1080,
         return img8, hit.astype(jnp.uint8), n8
 
     for fid in range(n_frames):
+        # resumable: a frame whose files all exist already is skipped, so an
+        # interrupted generation restarts where it left off
+        have = [osp.join(root, "imgs/%d.png" % fid),
+                osp.join(root, "masks/%d.png" % fid)]
+        if write_normals:
+            have.append(osp.join(root, "normals/%d.png" % fid))
+        if all(osp.exists(p) for p in have):
+            continue
         img8, m8, n8 = render_frame(jnp.asarray(poses[fid]),
                                     jnp.asarray(trans[fid]))
         img_np = np.asarray(img8)

@@ -39,7 +39,7 @@ from ..models.sdf import (SDFNet, init_sdf_params, sdf_apply, sdf_value_only,
 from ..models.translator import (TranslatorNet, init_translator_params,
                                  translator_apply)
 from ..models.render import RenderNet, init_render_params, render_apply
-from ..models.skinner import Skinner, skinner_apply, posed_skeleton
+from ..models.skinner import Skinner, skinner_apply_shared, posed_skeleton
 from ..models.deformer import Deformer, deformer_apply, deformer_jacobian
 from ..render.camera import (Camera, cam_pos, view_rays, ang_threshold,
                              transform_points_screen)
@@ -265,10 +265,10 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
             loss = loss + w.norm_weight * nc
             info["pc_norm_loss"] = nc
         if w.def_consistent_weight > 0.0:
-            lbs_flat = skinner_apply(deformer.skinner, flat, binds, poses, trans)
+            lbs_b = skinner_apply_shared(deformer.skinner, tmp_verts,
+                                         poses, trans)
             dc = L.def_consistency_loss(
-                def_verts, lbs_flat.reshape(N, vcap, 3), tmp.vert_valid,
-                w.def_consistent_c)
+                def_verts, lbs_b, tmp.vert_valid, w.def_consistent_c)
             loss = loss + w.def_consistent_weight * dc
             info["pc_defconst_loss"] = dc
         return loss, (masks, info)

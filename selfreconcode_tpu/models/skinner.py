@@ -109,6 +109,21 @@ def skinner_apply(skinner: Skinner, pts: jnp.ndarray, batch_inds: jnp.ndarray,
     return out + trans[batch_inds]
 
 
+def skinner_apply_shared(skinner: Skinner, pts: jnp.ndarray,
+                         poses: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
+    """pts (V,3) shared by ALL B frames -> (B,V,3).
+
+    Equivalent to skinner_apply(tile(pts, B), repeat(arange(B), V), ...) but
+    the weight-volume gather — the hottest memory op on TPU, row-size-bound —
+    runs ONCE on V rows instead of B*V; the per-frame part is B MXU matmuls
+    (V,24)x(24,16)."""
+    A, _ = fk_transforms(skinner, poses, trans)          # (B,24,4,4)
+    w = sample_skin_weights(skinner, pts)                 # (V,24)
+    T = jnp.einsum("vj,bjkl->bvkl", w, A)                 # (B,V,4,4)
+    out = jnp.einsum("bvij,vj->bvi", T[:, :, :3, :3], pts) + T[:, :, :3, 3]
+    return out + trans[:, None, :]
+
+
 # ---------------------------------------------------------------------------
 # Weight-field construction (one-time, cached to disk by the caller)
 # ---------------------------------------------------------------------------

@@ -162,6 +162,37 @@ def test_packed_f16_table_close_to_f32(toy):
     assert np.abs(o16 - o32).max() < 1e-3  # < 1 mm at body scale
 
 
+def test_skinner_shared_equals_tiled(skinner_and_cloud):
+    """skinner_apply_shared (one weight gather for V points shared by all B
+    frames) must match skinner_apply on the tiled layout, incl. gradients wrt
+    the points (it sits inside the inner template-vertex SGD)."""
+    from selfreconcode_tpu.models.skinner import skinner_apply_shared
+    skinner, verts, _ = skinner_and_cloud
+    pts = verts[:40]
+    B = 3
+    rng = np.random.default_rng(7)
+    poses = jnp.asarray(smpl_mod.smpl_tmp_apose(1)).reshape(1, 24, 3) \
+        + jnp.asarray(rng.normal(size=(B, 24, 3)).astype(np.float32) * 0.1)
+    trans = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32) * 0.3)
+    flat = jnp.tile(pts, (B, 1))
+    binds = jnp.repeat(jnp.arange(B), pts.shape[0])
+    ref = np.asarray(skinner_apply(skinner, flat, binds, poses, trans)
+                     ).reshape(B, -1, 3)
+    out = np.asarray(skinner_apply_shared(skinner, pts, poses, trans))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def f_shared(p):
+        return (skinner_apply_shared(skinner, p, poses, trans) ** 2).sum()
+
+    def f_tiled(p):
+        return (skinner_apply(skinner, jnp.tile(p, (B, 1)), binds, poses,
+                              trans) ** 2).sum()
+
+    g1 = np.asarray(jax.grad(f_shared)(pts))
+    g2 = np.asarray(jax.grad(f_tiled)(pts))
+    np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-4)
+
+
 def test_deformer_batched_equals_flat(skinner_and_cloud, key):
     skinner, verts, _ = skinner_and_cloud
     tnet = TranslatorNet(cond_size=8, multires=2)

@@ -11,7 +11,7 @@ DATA=${1:-/tmp/srtpu_accept}
 FRAMES=${2:-450}
 EPOCHS=${3:-}
 
-if [ ! -f "$DATA/camera.npz" ]; then
+if [ ! -f "$DATA/imgs/$((FRAMES-1)).png" ]; then
   echo "=== rendering synthetic subject ($FRAMES frames, 1080^2) ==="
   python -u -c "
 from selfreconcode_tpu.data.synthetic_subject import make_synthetic_subject
