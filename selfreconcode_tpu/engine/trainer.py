@@ -856,11 +856,19 @@ class Trainer:
         mc, nv, nf = self._mc_device(ratio_sdf)
         cfg = self.stage_cfg
         if nv > cfg.vcap or nf > cfg.fcap:
-            # grow capacities (forces a re-jit of the step)
+            # grow capacities (forces a re-jit of the step).  Grow with 25%
+            # headroom, NOT exact-fit: the template inflates steadily during
+            # coarse training and a re-jit costs ~minutes through the remote-
+            # compile tunnel, so exact-fit growth re-jitted every +4096 verts
+            # (measured: 5 rejits in one coarse stage).  Geometric slack makes
+            # rejit count logarithmic in template growth; padded-lane waste is
+            # a few MB.
+            nv_t = max(int(nv * 1.25), cfg.vcap)
+            nf_t = max(int(nf * 1.25), cfg.fcap)
             self.stage_cfg = cfg = dataclass_replace(
-                cfg, vcap=_round_up(max(nv, cfg.vcap), 4096),
-                fcap=_round_up(max(nf, cfg.fcap), 4096),
-                ecap=_round_up(3 * max(nf, cfg.fcap) // 2 + 4096, 4096))
+                cfg, vcap=_round_up(nv_t, 4096),
+                fcap=_round_up(nf_t, 4096),
+                ecap=_round_up(3 * nf_t // 2 + 4096, 4096))
             self._step_fn = None
         tmpl = self._template_jit(
             cfg.vcap, cfg.fcap, cfg.ecap,

@@ -21,11 +21,15 @@ fi
 
 EXTRA=""
 if [ -n "$EPOCHS" ]; then EXTRA="--max-epochs $EPOCHS"; fi
+if [ -f "$DATA/rec/latest.pkl" ]; then
+  # resume an interrupted run from its last epoch checkpoint
+  EXTRA="$EXTRA --model $DATA/rec/latest.pkl"
+fi
 
 echo "=== training (full schedule) ==="
 START=$(date +%s)
 python -u train.py --conf configs/config.conf --data "$DATA" \
-    --save-folder rec --synthetic-body $EXTRA 2>&1 | tee "$DATA/train.log" \
+    --save-folder rec --synthetic-body $EXTRA 2>&1 | tee -a "$DATA/train.log" \
     | grep -E "epoch .* took|enable|initial|OVERFLOW|WARNING|cache|loss = " \
     | awk 'NR % 37 == 1 || !/loss = /'
 TRAIN_S=$(( $(date +%s) - START ))
