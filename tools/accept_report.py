@@ -19,21 +19,28 @@ import numpy as np
 
 STEP_RE = re.compile(r"([0-9.]+)s/it")
 EPOCH_RE = re.compile(r"\((\d+)/(\d+)\): loss")
+EPOCH_TOOK_RE = re.compile(r"epoch (\d+) took ([0-9.]+)s")
 
 
 def parse_log(path: str):
-    """-> list of (epoch, s_per_it) in log order (epoch = current epoch idx)."""
+    """-> (steps, epochs): steps = [(epoch, s_per_it)...],
+    epochs = {epoch: wall_s} (last occurrence wins — resumes redo an epoch)."""
     out = []
+    epochs = {}
     epoch = 0
     with open(path) as f:
         for line in f:
             m = EPOCH_RE.search(line)
             if m:
                 epoch = int(m.group(1))
+            m = EPOCH_TOOK_RE.search(line)
+            if m:
+                epochs[int(m.group(1))] = float(m.group(2))
+                continue
             m = STEP_RE.search(line)
             if m:
                 out.append((epoch, float(m.group(1))))
-    return out
+    return out, epochs
 
 
 def stage_of(epoch: int, medium: int, fine: int) -> str:
@@ -54,7 +61,7 @@ def main(argv=None):
     a = ap.parse_args(argv)
 
     log = osp.join(a.root, "train.log")
-    samples = parse_log(log)
+    samples, epoch_wall = parse_log(log)
     if not samples:
         print("no s/it samples found in", log)
         return 1
@@ -62,29 +69,39 @@ def main(argv=None):
     stages = {"coarse": [], "medium": [], "fine": []}
     for ep, s in samples:
         stages[stage_of(ep, a.medium, a.fine)].append(s)
+    ewall = {"coarse": [], "medium": [], "fine": []}
+    for ep, s in sorted(epoch_wall.items()):
+        ewall[stage_of(ep, a.medium, a.fine)].append((ep, s))
 
     # steps per epoch at the reference batch sizes 3/2/1
     batch = {"coarse": 3, "medium": 2, "fine": 1}
     spe = {k: int(np.ceil(a.frames / b)) for k, b in batch.items()}
     total_s = 0.0
-    print(f"{'stage':8s} {'steps':>7s} {'mean s/it':>10s} {'median':>8s} "
-          f"{'p90':>8s}  measured-from")
+    print(f"{'stage':8s} {'epochs':>7s} {'wall s/step':>12s} "
+          f"{'dt-mean':>8s} {'dt-med':>8s}  notes")
     for st in ("coarse", "medium", "fine"):
         xs = np.array(stages[st])
+        ew = ewall[st]
         n_ep = ({"coarse": a.medium, "medium": a.fine - a.medium,
                  "fine": a.epochs_total - a.fine}[st])
         n_steps = n_ep * spe[st]
-        if xs.size:
-            # drop compile steps: anything > 20x the median is a (re)compile
-            med = np.median(xs)
-            steady = xs[xs < 20 * med]
-            mean = steady.mean()
-            total_s += n_steps * mean
-            print(f"{st:8s} {xs.size:7d} {mean:10.3f} {np.median(steady):8.3f} "
-                  f"{np.percentile(steady, 90):8.3f}  {xs.size} measured steps"
-                  f" ({xs.size - steady.size} compile-spike excluded)")
+        if ew:
+            # epoch wall-clock is the honest rate (remesh + rejits + ckpt
+            # saves included); the stage's slowest epoch usually carries the
+            # one-time stage compile — report steady (excl. max) + one-time
+            walls = np.array([s for _, s in ew])
+            # median epoch = steady rate (robust to compile/rejit epochs);
+            # everything above it = one-time overhead, added once
+            steady_epoch = float(np.median(walls))
+            rate = steady_epoch / spe[st]
+            one_time = float(np.maximum(walls - steady_epoch, 0.0).sum())
+            total_s += n_steps * rate + one_time
+            dts = (f"{xs.mean():8.3f} {np.median(xs):8.3f}" if xs.size
+                   else f"{'--':>8s} {'--':>8s}")
+            print(f"{st:8s} {len(ew):7d} {rate:12.3f} {dts}  "
+                  f"{spe[st]} steps/epoch, one-time (compile) ~{one_time:.0f}s")
         else:
-            print(f"{st:8s} {0:7d} {'--':>10s} {'--':>8s} {'--':>8s}  "
+            print(f"{st:8s} {0:7d} {'--':>12s} {'--':>8s} {'--':>8s}  "
                   "NOT MEASURED (schedule truncated before this stage)")
             total_s = float("nan")
     print(f"\nfull {a.epochs_total}-epoch schedule at measured rates: "
