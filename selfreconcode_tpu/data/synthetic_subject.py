@@ -57,6 +57,8 @@ def make_synthetic_subject(root: str, n_frames: int = 450, H: int = 1080,
     The render runs on the default JAX device (one jitted pass per frame);
     with a TPU attached, 450 frames at 1080^2 take a few minutes.
     """
+    import json
+
     import jax
     import jax.numpy as jnp
 
@@ -111,6 +113,26 @@ def make_synthetic_subject(root: str, n_frames: int = 450, H: int = 1080,
     os.makedirs(osp.join(root, "masks"), exist_ok=True)
     if write_normals:
         os.makedirs(osp.join(root, "normals"), exist_ok=True)
+
+    # The pose trajectory depends on every one of these parameters, so frames
+    # from a run with DIFFERENT parameters are inconsistent with the
+    # smpl_rec.npz / gt_mesh.npz written below.  Frame-level resume is only
+    # allowed when the manifest matches the previous run; otherwise every
+    # frame is re-rendered (overwritten), never mixed.
+    manifest = {"n_frames": n_frames, "H": H, "W": W, "n_verts": n_verts,
+                "body_res": body_res, "seed": seed,
+                "write_normals": bool(write_normals)}
+    mpath = osp.join(root, "subject_manifest.json")
+    dpath = osp.join(root, "subject_done.json")
+    resume_ok = False
+    if osp.isfile(mpath):
+        try:
+            resume_ok = json.load(open(mpath)) == manifest
+        except (ValueError, OSError):
+            resume_ok = False
+    if not resume_ok and osp.isfile(dpath):
+        os.remove(dpath)  # stale done-marker from a different-parameter run
+    json.dump(manifest, open(mpath, "w"))
     np.savez(osp.join(root, "camera.npz"), fx=fx, fy=fy, cx=cx, cy=cy,
              quat=quat, T=T)
     # estimator output = the UNDERLYING body's poses (surface wears cloth)
@@ -178,12 +200,13 @@ def make_synthetic_subject(root: str, n_frames: int = 450, H: int = 1080,
 
     for fid in range(n_frames):
         # resumable: a frame whose files all exist already is skipped, so an
-        # interrupted generation restarts where it left off
+        # interrupted generation restarts where it left off — but only when
+        # the manifest above matched (same trajectory)
         have = [osp.join(root, "imgs/%d.png" % fid),
                 osp.join(root, "masks/%d.png" % fid)]
         if write_normals:
             have.append(osp.join(root, "normals/%d.png" % fid))
-        if all(osp.exists(p) for p in have):
+        if resume_ok and all(osp.exists(p) for p in have):
             continue
         img8, m8, n8 = render_frame(jnp.asarray(poses[fid]),
                                     jnp.asarray(trans[fid]))
@@ -197,4 +220,7 @@ def make_synthetic_subject(root: str, n_frames: int = 450, H: int = 1080,
                         np.asarray(n8)[:, :, ::-1])  # stored RGB; cv2=BGR
         if verbose and fid % 25 == 0:
             print(f"  subject render {fid}/{n_frames}", flush=True)
+    # done-marker AFTER the loop: img/mask/normal for a frame are written in
+    # sequence, so "last img exists" does not imply the scene is complete
+    json.dump(manifest, open(dpath, "w"))
     return root

@@ -105,6 +105,11 @@ class StageStatic:
     anchor_sub: int = 16384     # sdf-anchor vertex subsample (0 = all)
     point_inits: bool = True    # vertex-projection ray seeding (False =
                                 # fragment rasterization, reference exact)
+    splat_cap: int = 64         # splat bin-cell candidate slots; grown by the
+                                # remesh-tick watermark from measured max cell
+                                # occupancy (reference parity: the exhaustive
+                                # per-pixel scatter never drops coverage,
+                                # model/CameraMine.py:266-304)
     window: int = 30            # DCT temporal window
     dct_k: int = 10
     opt_pose: bool = True
@@ -240,16 +245,20 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
         def_verts = def_flat.reshape(N, vcap, 3)
         splat_outs = [
             splat_mask(cam, def_verts[i], tmp.vert_valid, cfg.radius,
-                       return_overflow=True)
+                       cell_cap=cfg.splat_cap, return_overflow=True)
             for i in range(N)]
         masks = jnp.stack([m for m, _ in splat_outs])
+        stats = jnp.stack([s for _, s in splat_outs])          # (N, 2)
         mask_loss = L.iou_mask_loss(masks, mgtMs)
         loss = mask_loss * w.pc_mask_weight
         info = {"pc_mask_loss": mask_loss,
                 # dropped splat candidates in overfull bin cells; nonzero =
-                # scene denser than _SPLAT_CAP tuning, mask degrading (VERDICT
-                # weak #7: overflow must be visible, not silent)
-                "splat_overflow": sum(o for _, o in splat_outs)}
+                # scene denser than cfg.splat_cap.  The trainer's remesh-tick
+                # watermark reads these and grows the cap (rejit) so the
+                # decimation repairs itself instead of degrading the mask
+                # gradient silently for the whole run.
+                "splat_overflow": stats[:, 0].sum(),
+                "splat_max_cell": stats[:, 1].max()}
         if w.laplacian_weight > 0.0:
             lap = meshops.uniform_laplacian_loss(
                 tmp_verts, tmp.edges, tmp.edge_valid, tmp.vert_valid)
@@ -657,6 +666,7 @@ class Trainer:
                                 self._empty_template(1024, 2048, 4096))
         self.stage_cfg: Optional[StageStatic] = None
         self._step_fn = None
+        self.step_rejits = 0
         self.opt_times = 0
         self.forward_time = 0
         self.remesh_time = 0.0
@@ -760,7 +770,11 @@ class Trainer:
     def _discretize_jit(self, res: tuple, caps: tuple, mc_caps: tuple):
         """One jitted program: octree sweep + marching cubes (no eager ops —
         eager dispatch over the remote-TPU tunnel is pathological)."""
-        key = (res, caps, mc_caps)
+        # bbox is part of the key: the boundary-crossing watermark grows
+        # self.b_min/b_max, which would otherwise leave stale closures cached
+        key = (res, caps, mc_caps,
+               tuple(float(v) for v in self.b_min),
+               tuple(float(v) for v in self.b_max))
         if key not in self._disc_cache:
             spacing, origin = grid_world_coords(res[-1], self.b_min,
                                                 self.b_max)
@@ -792,6 +806,7 @@ class Trainer:
             self._mc_caps[res[-1]] = key_caps
         params = self.state.params["sdf"]
         ratio = jnp.asarray(ratio_sdf, jnp.float32)
+        bbox_tries = 0
         while True:
             mc = self._discretize_jit(res, caps, key_caps)(params, ratio)
             nv, nf, na = int(mc.nv), int(mc.nf), int(mc.na)
@@ -800,20 +815,43 @@ class Trainer:
             # crossing-edge vertices at (0,0,0) while neighbors' faces still
             # reference the vids (silent corruption), and nv/nf can both fit
             # while na overflows.
-            if nv <= vcap_mc and nf <= fcap_mc and na <= acap_mc:
-                break
-            key_caps = (max(vcap_mc, 2 * nv), max(fcap_mc, 2 * nf),
-                        max(acap_mc, 2 * na))
-            self._mc_caps[res[-1]] = key_caps
+            if nv > vcap_mc or nf > fcap_mc or na > acap_mc:
+                key_caps = (max(vcap_mc, 2 * nv), max(fcap_mc, 2 * nf),
+                            max(acap_mc, 2 * na))
+                self._mc_caps[res[-1]] = key_caps
+                continue
+            n_boundary = int(mc.n_boundary)
+            if n_boundary > 0 and nv > 0 and bbox_tries < 3:
+                # margin-invariant violation: boundary-edge crossings have no
+                # owning cube, so their MC vertices would stay at the world
+                # origin (corrupt template).  Watermark-repair like the
+                # na/nv/nf caps: grow the sweep bbox 8% per side and re-run.
+                # Only the SWEEP bbox grows — the skinner's weight-volume
+                # bbox (normalized-coordinate domain) is untouched.
+                ext = self.b_max - self.b_min
+                self.b_min = self.b_min - 0.08 * ext
+                self.b_max = self.b_max + 0.08 * ext
+                bbox_tries += 1
+                print(f"growing sweep bbox 8% per side (attempt "
+                      f"{bbox_tries}): surface touched the boundary "
+                      f"({n_boundary} ownerless crossings)", flush=True)
+                # bigger bbox -> bigger voxels -> MC triangles may exceed the
+                # stage's raster footprint (the binning's 2x2-cell guarantee);
+                # recompute it from the new spacing
+                if self.stage_cfg is not None:
+                    fp = self._stage_footprint(self.stage_cfg.resolutions)
+                    if fp > self.stage_cfg.raster_footprint:
+                        self.stage_cfg = dataclass_replace(
+                            self.stage_cfg, raster_footprint=fp)
+                        self._step_fn = None
+                continue
+            break
         assert nv > 0, "tmp sdf vanished..."  # network.py:466-468
-        n_boundary = int(mc.n_boundary)
         if n_boundary > 0 and not self._warned_boundary:
-            # margin-invariant violation: these crossings have no owning
-            # cube, so their vertices stay at the world origin.  Visible
-            # (once) instead of silent; tiny toy scenes trip this benignly.
+            # still touching after 3 growths — visible instead of silent
             print(f"WARNING: surface touches the sweep bbox ({n_boundary} "
-                  f"ownerless boundary-edge crossings) — grow the bbox "
-                  f"margins", flush=True)
+                  f"ownerless boundary-edge crossings) after bbox growth",
+                  flush=True)
             self._warned_boundary = True
         self.mc_boundary_crossings = n_boundary
         return mc, nv, nf
@@ -853,6 +891,7 @@ class Trainer:
         return self._tmpl_cache[key]
 
     def remesh(self, ratio_sdf: float):
+        self._check_splat_cap()
         mc, nv, nf = self._mc_device(ratio_sdf)
         cfg = self.stage_cfg
         if nv > cfg.vcap or nf > cfg.fcap:
@@ -877,6 +916,41 @@ class Trainer:
         self.state = self.state._replace(tmp=tmpl)
         self.remesh_time = 1.0 + np.floor(self.remesh_time)
         return nv, nf
+
+    def _check_splat_cap(self):
+        """Remesh-tick watermark: if any step since the last remesh dropped
+        splat candidates, grow the stage's splat cell cap to 1.25x the
+        measured max cell occupancy (rounded to the kernel's lane multiple)
+        and force a rejit.  Remesh is already a host sync + natural rejit
+        boundary, so the repair costs nothing extra; decimation persists for
+        at most remesh_intersect steps.  Mirrors the vcap/fcap growth policy
+        above and closes the acceptance-run OVERFLOW finding (VERDICT r2 #2).
+        """
+        info = self.info
+        if not info or "splat_overflow" not in info:
+            return
+        if int(info["splat_overflow"]) <= 0:
+            return
+        cfg = self.stage_cfg
+        need = int(info.get("splat_max_cell", 0))
+        new_cap = min(8192, max(-(-int(need * 1.25) // 64) * 64,
+                                cfg.splat_cap))
+        if new_cap > cfg.splat_cap:
+            print(f"growing splat cell cap {cfg.splat_cap} -> {new_cap} "
+                  f"(measured max cell occupancy {need})", flush=True)
+            self.stage_cfg = dataclass_replace(cfg, splat_cap=new_cap)
+            self._step_fn = None
+
+    def _stage_footprint(self, res) -> int:
+        """Static raster footprint from the MC voxel size: triangles from MC
+        never exceed one voxel, so the projected bbox is bounded by
+        voxel_diag * f / z_min (host estimate, fixed per stage)."""
+        spacing, _ = grid_world_coords(tuple(res[-1]), self.b_min, self.b_max)
+        cam = self._host_camera()
+        z_min = max(float(np.asarray(cam.T)[2]) - float(self.b_max[2]), 0.3)
+        vox = float(np.max(np.asarray(spacing)))
+        return int(np.clip(np.ceil(
+            2.0 * vox * float(np.asarray(cam.focal)[0]) / z_min) + 2, 6, 48))
 
     # -- stages -------------------------------------------------------------
     def set_stage(self, name: str):
@@ -904,15 +978,7 @@ class Trainer:
                             if "sample_pix_num" in wconf else 0),
         )
         res = tuple(tuple(r) for r in self.resolutions[name])
-        # static raster footprint from the MC voxel size: triangles from MC
-        # never exceed one voxel, so the projected bbox is bounded by
-        # voxel_diag * f / z_min (host estimate, fixed per stage)
-        spacing, _ = grid_world_coords(res[-1], self.b_min, self.b_max)
-        cam = self._host_camera()
-        z_min = max(float(np.asarray(cam.T)[2]) - float(self.b_max[2]), 0.3)
-        vox = float(np.max(np.asarray(spacing)))
-        fp = int(np.clip(np.ceil(
-            2.0 * vox * float(np.asarray(cam.focal)[0]) / z_min) + 2, 6, 48))
+        fp = self._stage_footprint(res)
 
         occ = conf.get_config("train.opt_camera")
         prev = self.stage_cfg
@@ -926,6 +992,7 @@ class Trainer:
             vcap=prev.vcap if prev else 16384,
             fcap=prev.fcap if prev else 32768,
             ecap=prev.ecap if prev else 49152,
+            splat_cap=prev.splat_cap if prev else 64,
             mc_active_cap=65536,
             resolutions=res,
             sweep_caps=tuple(default_caps(res)),
@@ -952,6 +1019,14 @@ class Trainer:
 
     def _get_step_fn(self):
         if self._step_fn is None:
+            cfg = self.stage_cfg
+            self.step_rejits += 1
+            # one visible line per step-fn build: the acceptance log must show
+            # how often the stage rejits (headroom-policy verification —
+            # target is <=2 per stage after the first compile)
+            print(f"[rejit #{self.step_rejits}] step fn for stage "
+                  f"{cfg.name}: vcap={cfg.vcap} fcap={cfg.fcap} "
+                  f"ecap={cfg.ecap} splat_cap={cfg.splat_cap}", flush=True)
             self._step_fn = make_train_step(
                 self.sdf_net, self.trans_net, self.render_net, self.deformer,
                 self.stage_cfg, self.dctnull, self.ang_thresh, self.optimizer)
@@ -992,7 +1067,8 @@ class Trainer:
             cam = self._host_camera()
             for i in range(N):
                 m = np.asarray(splat_mask(
-                    cam, jnp.asarray(dv[i]), tmp.vert_valid, cfg.radius))
+                    cam, jnp.asarray(dv[i]), tmp.vert_valid, cfg.radius,
+                    cell_cap=cfg.splat_cap))
                 cv2.imwrite(osp.join(debug_root, f"m{i}.png"),
                             (np.clip(m, 0, 1) * 255).astype(np.uint8))
                 if batch is not None:

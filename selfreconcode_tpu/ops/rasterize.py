@@ -280,7 +280,7 @@ def _rasterize_mesh_pallas(cam: Camera, verts: jnp.ndarray,
 
 def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
                radius_ndc: float, footprint: int = 9,
-               image_scale: int = 1, cell_cap: int = 96,
+               image_scale: int = 1, cell_cap: int = 64,
                return_overflow: bool = False):
     """Soft mask (H/s, W/s) in [0, 1] from world-space points.
 
@@ -289,34 +289,43 @@ def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
     camera; forward is a binned per-pixel gather, backward gathers the
     cotangent at each point's k x k footprint (both scatter-free).
 
-    return_overflow=True additionally returns the () int32 count of dropped
-    candidate entries in overfull bin cells (telemetry: nonzero means the
-    splat cloud is denser than the cap and the mask is degrading silently).
+    cell_cap: per-cell candidate slots (rounded up to a multiple of 64).  The
+    trainer grows this from measured occupancy telemetry (a watermark-repair
+    policy like the template caps) so production-density clouds never drop
+    silhouette coverage — the parity contract is the reference's exhaustive
+    per-pixel scatter (PointsRasterizer(points_per_pixel=50) keeps EVERY
+    covering splat up to 50/px, model/CameraMine.py:266-304).
+
+    return_overflow=True additionally returns a (2,) int32 stats vector:
+    [dropped candidate entries in overfull cells, max cell occupancy].
+    stats[0] > 0 means the cloud is denser than cell_cap and the mask is
+    degrading; stats[1] is the cap that would have sufficed.
     """
     H, W = cam.H // image_scale, cam.W // image_scale
     r_pix = radius_ndc * (cam.W / image_scale) / 2.0
     k = int(footprint)
+    cap = max(64, -(-int(cell_cap) // 64) * 64)
     screen = transform_points_screen(cam, points)
     col = screen[:, 0] / image_scale
     row = screen[:, 1] / image_scale
     z = screen[:, 2]
     if PALLAS_ENABLED and 2.0 * r_pix <= 8.0:
         # splat bbox fits an 8px cell -> Pallas kernel path
-        mask, ovf = _splat_core_pl(col, row, z, point_valid, float(r_pix),
-                                   H, W)
+        mask, stats = _splat_core_pl(col, row, z, point_valid, float(r_pix),
+                                     H, W, cap)
     else:
-        mask, ovf = _splat_core(col, row, z, point_valid, float(r_pix), H, W,
-                                k, cell_cap)
+        mask, stats = _splat_core(col, row, z, point_valid, float(r_pix), H,
+                                  W, k, cap)
     if return_overflow:
-        return mask, ovf
+        return mask, stats
     return mask
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _splat_core(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
-    mask, _, ovf = _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k,
-                                   cell_cap)
-    return mask, ovf
+    mask, _, stats = _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k,
+                                     cell_cap)
+    return mask, stats
 
 
 def _log_term(dc, dr, r_pix):
@@ -336,13 +345,14 @@ def _splat_bin(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
         col - half, row - half, col + half, row + half,
         ok & (col + half >= 0) & (col - half <= W - 1)
         & (row + half >= 0) & (row - half <= H - 1), cs, ncx, ncy)
-    table, _, ovf = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
+    table, counts, ovf = build_cell_table(cells, evalid, ncy * ncx, cell_cap)
     cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)
     cell_ids = jnp.arange(ncy * ncx)
     lx = jnp.arange(cs)
     px = ((cell_ids % ncx) * cs)[:, None] + jnp.tile(lx, cs)[None, :]
     py = ((cell_ids // ncx) * cs)[:, None] + jnp.repeat(lx, cs)[None, :]
-    return (cs, ncy, ncx, Hp, Wp, table, cand, px, py, ovf)
+    stats = jnp.stack([ovf, counts.max()]).astype(jnp.int32)
+    return (cs, ncy, ncx, Hp, Wp, table, cand, px, py, stats)
 
 
 def _splat_cell_acc(col, row, cand, px, py, r_pix):
@@ -358,18 +368,18 @@ def _splat_cell_acc(col, row, cand, px, py, r_pix):
 
 
 def _splat_fwd_impl(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
-    (cs, ncy, ncx, Hp, Wp, table, cand, px, py, ovf) = _splat_bin(
+    (cs, ncy, ncx, Hp, Wp, table, cand, px, py, stats) = _splat_bin(
         col, row, z, point_valid, r_pix, H, W, k, cell_cap)
     acc = _splat_cell_acc(col, row, cand, px, py, r_pix)
     img = acc.reshape(ncy, ncx, cs, cs)
     img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp)[:H, :W]
-    return 1.0 - jnp.exp(img), img, ovf.astype(jnp.int32)
+    return 1.0 - jnp.exp(img), img, stats
 
 
 def _splat_core_fwd(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
-    mask, acc_img, ovf = _splat_fwd_impl(col, row, z, point_valid, r_pix, H,
-                                         W, k, cell_cap)
-    return (mask, ovf), (col, row, z, point_valid, mask)
+    mask, acc_img, stats = _splat_fwd_impl(col, row, z, point_valid, r_pix, H,
+                                           W, k, cell_cap)
+    return (mask, stats), (col, row, z, point_valid, mask)
 
 
 def _splat_core_bwd(r_pix, H, W, k, cell_cap, res, g):
@@ -403,12 +413,12 @@ _splat_core.defvjp(_splat_core_fwd, _splat_core_bwd)
 # Pallas splat path (cs=8, cap=128): VMEM forward + scatter-free backward
 # ---------------------------------------------------------------------------
 
-_SPLAT_CAP = 64   # per-cell candidate slots; production density is ~16-40
-                  # per 8px cell (MC verts project ~2.4px apart), overflow
-                  # drops points in already-saturated cells (graceful)
+_SPLAT_CAP = 64   # default per-cell candidate slots (kept as the floor; the
+                  # trainer grows its stage cap from occupancy telemetry —
+                  # see splat_mask's cell_cap docstring)
 
 
-def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W):
+def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap):
     """Deterministic binning shared by the Pallas fwd and bwd."""
     from .binning import build_cell_table_full
     cs = 8
@@ -419,10 +429,11 @@ def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W):
         col - half, row - half, col + half, row + half,
         ok & (col + half >= 0) & (col - half <= W - 1)
         & (row + half >= 0) & (row - half <= H - 1), cs, ncx, ncy)
-    table, _, ovf, starts, rank = build_cell_table_full(
-        cells, evalid, ncy * ncx, _SPLAT_CAP)
+    table, counts, ovf, starts, rank = build_cell_table_full(
+        cells, evalid, ncy * ncx, cap)
     cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)
-    return cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand, ovf
+    stats = jnp.stack([ovf, counts.max()]).astype(jnp.int32)
+    return cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand, stats
 
 
 def _splat_pts_tensor(col, row, cand):
@@ -438,33 +449,34 @@ def _splat_pts_tensor(col, row, cand):
     return jnp.swapaxes(arr, 1, 2)                        # (C, 2, cap)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _splat_core_pl(col, row, z, point_valid, r_pix, H, W):
-    mask, _, ovf = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W)
-    return mask, ovf
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _splat_core_pl(col, row, z, point_valid, r_pix, H, W, cap):
+    mask, _, stats = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, cap)
+    return mask, stats
 
 
-def _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, bin_=None):
+def _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, cap, bin_=None):
     if bin_ is None:
-        bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W)
-    (cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand, ovf) = bin_
+        bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap)
+    (cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand, stats) = bin_
     pts_t = _splat_pts_tensor(col, row, cand)
     pts_t, C = _pad_cells(pts_t)
     acc = PR.splat_fwd_cells(pts_t, cs, ncx, r_pix, _CB)[:C]
     img = acc.reshape(ncy, ncx, cs, cs)
     img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp)[:H, :W]
-    return 1.0 - jnp.exp(img), img, ovf.astype(jnp.int32)
+    return 1.0 - jnp.exp(img), img, stats
 
 
-def _splat_core_pl_fwd(col, row, z, point_valid, r_pix, H, W):
+def _splat_core_pl_fwd(col, row, z, point_valid, r_pix, H, W, cap):
     # binning products ride in the residuals so the backward skips the sort
-    bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W)
-    mask, _, ovf = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, bin_)
-    return (mask, ovf), (col, row, z, point_valid, mask,
-                         bin_[5], bin_[6], bin_[7], bin_[8], bin_[9])
+    bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap)
+    mask, _, stats = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W,
+                                   cap, bin_)
+    return (mask, stats), (col, row, z, point_valid, mask,
+                           bin_[5], bin_[6], bin_[7], bin_[8], bin_[9])
 
 
-def _splat_core_pl_bwd(r_pix, H, W, res, g):
+def _splat_core_pl_bwd(r_pix, H, W, cap, res, g):
     """Backward without any scatter: a Pallas kernel produces per-candidate
     (d col, d row) sums over the cell's pixels; the inverse table permutation
     (second sort, computed in the binning's forward pass and carried in the
@@ -490,14 +502,13 @@ def _splat_core_pl_bwd(r_pix, H, W, res, g):
     from .binning import table_slot_of_rank
     counts_c = starts[jnp.minimum(cells + 1, starts.shape[0] - 1)] \
         - starts[cells]
-    slot, selected = table_slot_of_rank(rank - starts[cells], counts_c,
-                                        _SPLAT_CAP)
+    slot, selected = table_slot_of_rank(rank - starts[cells], counts_c, cap)
     in_table = evalid & selected
-    slot_c = jnp.clip(slot, 0, _SPLAT_CAP - 1)
+    slot_c = jnp.clip(slot, 0, cap - 1)
     flat = gc.reshape(-1)
-    base = (cells * 2) * _SPLAT_CAP + slot_c
+    base = (cells * 2) * cap + slot_c
     g_col_e = jnp.where(in_table, flat[base], 0.0)
-    g_row_e = jnp.where(in_table, flat[base + _SPLAT_CAP], 0.0)
+    g_row_e = jnp.where(in_table, flat[base + cap], 0.0)
     N = col.shape[0]
     g_col = g_col_e.reshape(4, N).sum(0)
     g_row = g_row_e.reshape(4, N).sum(0)

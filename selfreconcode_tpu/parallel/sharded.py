@@ -57,7 +57,10 @@ def make_train_step_sharded(mesh: Mesh, sdf_net, render_net, deformer,
                                 bank["dcond"], bank["poses"], bank["trans"], 1.0)
         colors = render_apply(params["render"], render_net, pts, nx, rays,
                               feat, 1.0)
-        color_l = jnp.abs(colors - gt_colors).sum(-1).sum()
+        # squared (not L1) so the layout is testable: d|x|/dx = sign(x) flips
+        # on last-ulp forward differences between shard counts, which would
+        # make "sharded == unsharded" impossible to assert near x = 0
+        color_l = ((colors - gt_colors) ** 2).sum(-1).sum()
         eik_l = ((jnp.linalg.norm(grad, axis=-1) - 1.0) ** 2).sum()
         off_l = jnp.linalg.norm(off, axis=-1).sum()
         n = pts.shape[0]  # local count; global mean via psum of sums

@@ -50,6 +50,47 @@ def test_checkpoint_roundtrip(trained):
     assert np.isfinite(info["loss"])
 
 
+def test_exact_resume_reproduces_uninterrupted_step(trained):
+    """save -> load into a FRESH trainer -> one step must reproduce the
+    uninterrupted run's step (loss + params) to fp tolerance, including the
+    stage caps, template verts and inner-SGD momentum (VERDICT r2 #7 — the
+    acceptance run resumes mid-stage, so resume must not perturb training).
+    """
+    from selfreconcode_tpu.engine.trainer import build_synthetic_trainer
+    tr, ds, root = trained
+    path = osp.join(root, "resume.pkl")
+    save_checkpoint(path, tr, epoch=5)
+
+    # uninterrupted continuation
+    fids = np.array([5, 6, 7])
+    key = jax.random.PRNGKey(42)
+    info_a = tr.train_step(fids, ds.batch(fids), 1e-4, key)
+    params_a = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    verts_a = np.asarray(tr.state.tmp.verts)
+
+    # fresh trainer (same scene), restore, same step
+    tr2, ds2 = build_synthetic_trainer(root, n_frames=8, H=48, W=48)
+    tr2.mc_cap_floor = 4096
+    epoch = load_checkpoint(path, tr2)
+    assert epoch == 5
+    # load_checkpoint restores stage name + caps from the payload; any
+    # sample-count overrides the session had applied live are NOT part of a
+    # checkpoint, so mirror tr's current static view exactly
+    tr2.stage_cfg = tr.stage_cfg
+    tr2._step_fn = None
+    assert tr2.opt_times == tr.opt_times - 1
+    info_b = tr2.train_step(fids, ds2.batch(fids), 1e-4, key)
+    params_b = jax.tree_util.tree_map(np.asarray, tr2.state.params)
+
+    np.testing.assert_allclose(info_b["loss"], info_a["loss"],
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tr2.state.tmp.verts), verts_a,
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_infer_frame_outputs(trained):
     tr, ds, root = trained
     infer = make_infer_fn(tr, footprint=8)

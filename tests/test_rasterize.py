@@ -112,18 +112,25 @@ def test_overflow_telemetry_fires_on_dense_scenes():
     assert int(tiny.overflow) > 0
     assert int(full.overflow) == 0
 
-    # splat: 500 coincident points all land in one cell; XLA path cap 96
+    # splat: 500 coincident points all land in one cell; default cap 64.
+    # stats = [dropped entries, max cell occupancy] — occupancy sizes the
+    # trainer's watermark growth.
     pts = jnp.zeros((500, 3), jnp.float32)
     pv = jnp.ones(500, bool)
-    m, ovf = splat_mask(cam, pts, pv, 0.2, footprint=11, return_overflow=True)
-    assert int(ovf) > 0
+    m, st = splat_mask(cam, pts, pv, 0.2, footprint=11, return_overflow=True)
+    assert int(st[0]) > 0
+    assert int(st[1]) >= 500  # every point covers the origin cell
     assert m.shape == (64, 64)
+    # growing the cap to the reported occupancy removes the overflow
+    m2, st2 = splat_mask(cam, pts, pv, 0.2, footprint=11,
+                         cell_cap=int(st[1]), return_overflow=True)
+    assert int(st2[0]) == 0
     # sparse cloud: no overflow
     far = jnp.asarray(np.stack([np.linspace(-0.5, 0.5, 8),
                                 np.zeros(8), np.zeros(8)], -1), jnp.float32)
-    _, ovf0 = splat_mask(cam, far, jnp.ones(8, bool), 0.05, footprint=9,
-                         return_overflow=True)
-    assert int(ovf0) == 0
+    _, st0 = splat_mask(cam, far, jnp.ones(8, bool), 0.05, footprint=9,
+                        return_overflow=True)
+    assert int(st0[0]) == 0
     # overflow output must not break the gradient path
     g = jax.grad(lambda p: splat_mask(cam, p, pv, 0.2, 11).sum())(pts)
     assert np.all(np.isfinite(np.asarray(g)))

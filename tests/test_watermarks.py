@@ -1,0 +1,84 @@
+"""Watermark-repair policies: every capacity telemetry signal must trigger a
+grow-and-retry (or grow-and-rejit), never a silent degradation.
+
+Covers the round-3 repairs: splat cell-cap growth (VERDICT r2 missing #2)
+and sweep-bbox growth on ownerless boundary crossings (VERDICT r2 #5).
+"""
+import numpy as np
+import pytest
+import jax
+
+from selfreconcode_tpu.engine.trainer import (Trainer, StageStatic,
+                                              LossWeights,
+                                              build_synthetic_trainer)
+
+
+def _bare_trainer_with_stage(**kw) -> Trainer:
+    """A Trainer shell carrying only what the host-side policies read."""
+    tr = Trainer.__new__(Trainer)
+    tr.stage_cfg = StageStatic(
+        name="coarse", N=1, H=8, W=8, sample_pix=8, radius=0.006,
+        remesh_intersect=30, vcap=64, fcap=128, ecap=256, mc_active_cap=64,
+        resolutions=((9, 9, 9),), sweep_caps=(64,), raster_footprint=8,
+        weights=LossWeights(), **kw)
+    tr._step_fn = "compiled-sentinel"
+    tr.info = {}
+    return tr
+
+
+def test_splat_cap_watermark_grows_and_rejits():
+    tr = _bare_trainer_with_stage()
+    assert tr.stage_cfg.splat_cap == 64
+    # overflow reported -> cap grows to 1.25x the measured occupancy,
+    # rounded to the kernel's 64-lane multiple, and the step fn is dropped
+    tr.info = {"splat_overflow": 3.0, "splat_max_cell": 200.0}
+    tr._check_splat_cap()
+    assert tr.stage_cfg.splat_cap == 256  # ceil(200*1.25 / 64) * 64
+    assert tr._step_fn is None
+
+
+def test_splat_cap_watermark_noop_without_overflow():
+    tr = _bare_trainer_with_stage(splat_cap=128)
+    # occupancy high but nothing dropped (strided retention not engaged):
+    # no growth, no rejit
+    tr.info = {"splat_overflow": 0.0, "splat_max_cell": 500.0}
+    tr._check_splat_cap()
+    assert tr.stage_cfg.splat_cap == 128
+    assert tr._step_fn == "compiled-sentinel"
+    # missing telemetry (e.g. first step of a stage): no-op
+    tr.info = {}
+    tr._check_splat_cap()
+    assert tr._step_fn == "compiled-sentinel"
+
+
+def test_splat_cap_watermark_is_bounded():
+    tr = _bare_trainer_with_stage()
+    tr.info = {"splat_overflow": 1.0, "splat_max_cell": 1e9}
+    tr._check_splat_cap()
+    assert tr.stage_cfg.splat_cap == 8192  # hard ceiling
+
+
+@pytest.mark.slow
+def test_bbox_grow_and_retry_repairs_boundary(tmp_path):
+    """A sweep bbox the isosurface crosses must be grown until every
+    boundary-edge crossing has an owning cube (n_boundary == 0) — vertices of
+    ownerless crossings would silently sit at the world origin otherwise."""
+    res = [(9, 9, 9), (17, 17, 17)]
+    tr, ds = build_synthetic_trainer(str(tmp_path), n_frames=4, H=48, W=48)
+    tr.mc_cap_floor = 2048
+    tr.initialize_sdf(30)
+    verts0, _, nv0, _ = tr.discretize_sdf(1.0, resolutions=res)
+    assert tr.mc_boundary_crossings == 0  # healthy default margins
+
+    # shrink the sweep bbox INSIDE the surface bounds -> crossings guaranteed
+    lo, hi = verts0.min(0), verts0.max(0)
+    c = 0.5 * (lo + hi)
+    tr.b_min = (c + 0.9 * (lo - c)).astype(np.float32)
+    tr.b_max = (c + 0.9 * (hi - c)).astype(np.float32)
+    b_min_before = tr.b_min.copy()
+    verts1, _, nv1, _ = tr.discretize_sdf(1.0, resolutions=res)
+    assert tr.mc_boundary_crossings == 0, "growth should have repaired this"
+    assert (tr.b_min < b_min_before).all()  # the bbox actually grew
+    # and no vertex is parked at the origin sentinel
+    assert nv1 > 0
+    assert float(np.min(np.linalg.norm(verts1[:nv1], axis=1))) > 1e-6

@@ -23,24 +23,26 @@ EPOCH_TOOK_RE = re.compile(r"epoch (\d+) took ([0-9.]+)s")
 
 
 def parse_log(path: str):
-    """-> (steps, epochs): steps = [(epoch, s_per_it)...],
-    epochs = {epoch: wall_s} (last occurrence wins — resumes redo an epoch)."""
-    out = []
+    """-> (steps, epochs): steps = [(epoch, s_per_it)...] deduped per
+    (epoch, step) — resumed runs append (tee -a) and redo part of an epoch,
+    so the LAST sample for a given (epoch, step) wins — and
+    epochs = {epoch: wall_s} (same last-wins rule)."""
+    samples = {}
     epochs = {}
-    epoch = 0
+    epoch, di = 0, -1
     with open(path) as f:
         for line in f:
             m = EPOCH_RE.search(line)
             if m:
-                epoch = int(m.group(1))
+                epoch, di = int(m.group(1)), int(m.group(2))
             m = EPOCH_TOOK_RE.search(line)
             if m:
                 epochs[int(m.group(1))] = float(m.group(2))
                 continue
             m = STEP_RE.search(line)
             if m:
-                out.append((epoch, float(m.group(1))))
-    return out, epochs
+                samples[(epoch, di)] = float(m.group(1))
+    return [(e, s) for (e, _), s in sorted(samples.items())], epochs
 
 
 def stage_of(epoch: int, medium: int, fine: int) -> str:
@@ -73,41 +75,47 @@ def main(argv=None):
     for ep, s in sorted(epoch_wall.items()):
         ewall[stage_of(ep, a.medium, a.fine)].append((ep, s))
 
-    # steps per epoch at the reference batch sizes 3/2/1
+    # steps per epoch at the reference batch sizes 3/2/1.  floor, not ceil:
+    # the device-cached iterator drops partial groups (cli/train.py
+    # `len(g) == bs`).
     batch = {"coarse": 3, "medium": 2, "fine": 1}
-    spe = {k: int(np.ceil(a.frames / b)) for k, b in batch.items()}
+    spe = {k: a.frames // b for k, b in batch.items()}
+    # the trainer loop is range(start, nepoch + 1) -> nepoch + 1 epochs total
+    n_epochs = {"coarse": a.medium, "medium": a.fine - a.medium,
+                "fine": a.epochs_total + 1 - a.fine}
     total_s = 0.0
     print(f"{'stage':8s} {'epochs':>7s} {'wall s/step':>12s} "
           f"{'dt-mean':>8s} {'dt-med':>8s}  notes")
     for st in ("coarse", "medium", "fine"):
         xs = np.array(stages[st])
         ew = ewall[st]
-        n_ep = ({"coarse": a.medium, "medium": a.fine - a.medium,
-                 "fine": a.epochs_total - a.fine}[st])
-        n_steps = n_ep * spe[st]
+        n_steps = n_epochs[st] * spe[st]
         if ew:
             # epoch wall-clock is the honest rate (remesh + rejits + ckpt
-            # saves included); the stage's slowest epoch usually carries the
-            # one-time stage compile — report steady (excl. max) + one-time
+            # saves included).  median epoch = steady rate; one-time overhead
+            # counts ONLY clear outlier epochs (> 1.5x steady: compiles and
+            # rejits), not ordinary variance — attributing ALL above-median
+            # mass to compile double-counted noise.
             walls = np.array([s for _, s in ew])
-            # median epoch = steady rate (robust to compile/rejit epochs);
-            # everything above it = one-time overhead, added once
             steady_epoch = float(np.median(walls))
             rate = steady_epoch / spe[st]
-            one_time = float(np.maximum(walls - steady_epoch, 0.0).sum())
+            rejit = walls[walls > 1.5 * steady_epoch]
+            one_time = float((rejit - steady_epoch).sum())
             total_s += n_steps * rate + one_time
             dts = (f"{xs.mean():8.3f} {np.median(xs):8.3f}" if xs.size
                    else f"{'--':>8s} {'--':>8s}")
             print(f"{st:8s} {len(ew):7d} {rate:12.3f} {dts}  "
-                  f"{spe[st]} steps/epoch, one-time (compile) ~{one_time:.0f}s")
+                  f"{spe[st]} steps/epoch, one-time (compile) ~{one_time:.0f}s"
+                  f" over {rejit.size} epochs")
         else:
             print(f"{st:8s} {0:7d} {'--':>12s} {'--':>8s} {'--':>8s}  "
                   "NOT MEASURED (schedule truncated before this stage)")
             total_s = float("nan")
-    print(f"\nfull {a.epochs_total}-epoch schedule at measured rates: "
+    print(f"\nfull {a.epochs_total + 1}-epoch schedule at measured rates: "
           f"{total_s / 3600.0:.2f} h "
-          f"({a.medium}x{spe['coarse']} + {a.fine - a.medium}x{spe['medium']}"
-          f" + {a.epochs_total - a.fine}x{spe['fine']} steps)")
+          f"({n_epochs['coarse']}x{spe['coarse']} + "
+          f"{n_epochs['medium']}x{spe['medium']} + "
+          f"{n_epochs['fine']}x{spe['fine']} steps)")
 
     err = osp.join(a.root, "rec", "errors.txt")
     if osp.exists(err):

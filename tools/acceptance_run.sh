@@ -11,7 +11,11 @@ DATA=${1:-/tmp/srtpu_accept}
 FRAMES=${2:-450}
 EPOCHS=${3:-}
 
-if [ ! -f "$DATA/imgs/$((FRAMES-1)).png" ]; then
+# subject_done.json is written by make_synthetic_subject AFTER the frame loop
+# (frames are written img-then-mask-then-normal, so "last img exists" does not
+# imply completeness), and the generator itself re-renders everything when the
+# parameter manifest differs from the previous run's.
+if [ ! -f "$DATA/subject_done.json" ]; then
   echo "=== rendering synthetic subject ($FRAMES frames, 1080^2) ==="
   python -u -c "
 from selfreconcode_tpu.data.synthetic_subject import make_synthetic_subject
