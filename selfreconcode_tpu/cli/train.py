@@ -92,9 +92,15 @@ def main(argv=None):
         print("load model:", args.model)
         sdf_sub = None
         if args.sdf_model and osp.isfile(args.sdf_model):
-            import pickle
-            with open(args.sdf_model, "rb") as f:
-                sdf_sub = pickle.load(f)["params"]["sdf"]
+            from ..engine.torch_compat import (is_torch_checkpoint,
+                                               load_reference_sdf)
+            if is_torch_checkpoint(args.sdf_model):
+                # a reference .pth: take its sdf tower (utils.py:279-282)
+                sdf_sub = load_reference_sdf(args.sdf_model)
+            else:
+                import pickle
+                with open(args.sdf_model, "rb") as f:
+                    sdf_sub = pickle.load(f)["params"]["sdf"]
         start_epoch = load_checkpoint(args.model, trainer, sdf_params=sdf_sub)
     else:
         # IGR pretraining (cached like the reference, network.py:835-840)

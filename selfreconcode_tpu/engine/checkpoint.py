@@ -50,8 +50,15 @@ def save_checkpoint(path: str, trainer, epoch: int):
 
 def load_checkpoint(path: str, trainer, sdf_params: Optional[Any] = None,
                     drop_opt_state: bool = False) -> int:
-    """Restore trainer state in place; returns the saved epoch."""
+    """Restore trainer state in place; returns the saved epoch.
+
+    Accepts either this repo's pickle checkpoints or a reference-framework
+    ``.pth`` (torch.save) file — the latter is routed through
+    torch_compat.restore_from_reference for direct cross-framework A/B."""
     from .trainer import TrainState, TemplateState
+    from .torch_compat import is_torch_checkpoint, restore_from_reference
+    if is_torch_checkpoint(path):
+        return restore_from_reference(path, trainer, sdf_params=sdf_params)
     with open(path, "rb") as f:
         payload = pickle.load(f)
     params = _to_jnp(payload["params"])

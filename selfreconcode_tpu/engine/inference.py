@@ -5,6 +5,14 @@ output conventions: 'meshs' Phong renders of the deformed template (+ mask
 IoU vs gt), 'def1meshs' renders of the MLP-offset-only deformation from a
 fixed frontal camera, and IDR colors at ray-surface intersections composited
 over white.
+
+Structure (mirrors the reference's chunking at model/network.py:342-363):
+a jitted GEOMETRY pass renders both meshes and produces per-pixel surface
+inits, then the expensive 30-iter ray solve + color net runs only on the
+pixels the rasterizer actually hit, in fixed-size jitted CHUNKS driven by a
+host loop.  At 1080p a person covers ~15-25% of pixels, so chunking the hit
+set is a ~4-6x cut in solve FLOPs vs solving the full H*W grid, with zero
+recompiles (chunk shape is static; only the chunk COUNT varies per frame).
 """
 from __future__ import annotations
 
@@ -27,28 +35,35 @@ from ..engine.surface import (SurfaceConfig, optimize_surface_points,
 from ..utils.math import inv3x3, normalize
 
 
-def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False):
-    """Returns jitted fn(params, bank, tmp, fid) -> per-frame outputs dict.
+def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False,
+                  chunk: int = 65536):
+    """Returns fn(params, bank, tmp, fid, gt_mask) -> per-frame outputs dict.
 
-    One frame per call (infer batches are loops; shapes stay static).
+    One frame per call (infer batches are loops; shapes stay static).  The
+    returned fn is a host orchestrator over two jitted programs; `chunk` is
+    the color-solve batch size (clamped to H*W).
     """
     sdf_net = trainer.sdf_net
     trans_net = trainer.trans_net
     render_net = trainer.render_net
     H, W = trainer.dataset.H, trainer.dataset.W
+    chunk = int(min(chunk, H * W))
     # The reference loosens the distance threshold 5e-5 -> 1e-4 and runs 30
     # iters at inference (model/network.py:342-363); w1/w2 stay at the
     # SurfaceConfig defaults shared with training.
     cfg = SurfaceConfig(n_iters=30, dthreshold=1e-4,
                         athreshold_deg=trainer.ang_thresh)
 
-    @jax.jit
-    def _infer_frame(params, bank, tmp, fid, gt_mask, deformer):
-        cam = Camera(
+    def _camera(bank):
+        return Camera(
             focal=bank["camera"]["focal_length"],
             principal=bank["camera"]["princeple_points"],
             R=_quat_R(bank["camera"]["cam2world_coord_quat"]),
             T=bank["camera"]["world2cam_coord_trans"], H=H, W=W)
+
+    @jax.jit
+    def _geom(params, bank, tmp, fid, gt_mask, deformer):
+        cam = _camera(bank)
         poses = bank["poses"][fid][None]
         trans = bank["trans"][fid][None]
         dcond = bank["cond_deformer"][fid][None]
@@ -71,8 +86,8 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False):
         # def1: translator-only deformation from a fixed frontal camera
         # (network.py:332-339): R = diag(-1,1,-1), T = mean trans
         tverts, _ = translator_apply(params["trans"], trans_net, tmp.verts,
-                                     jnp.broadcast_to(dcond[0], (vcap,
-                                                                 dcond.shape[-1])),
+                                     jnp.broadcast_to(
+                                         dcond[0], (vcap, dcond.shape[-1])),
                                      1.0)
         newT = bank["trans"].mean(0)
         cam1 = Camera(focal=cam.focal, principal=cam.principal,
@@ -91,19 +106,29 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False):
 
         init_pts, valid = surface_inits_from_fragments(
             tmp.verts, tmp.faces, frags.pix_to_face, frags.bary)
-        init_flat = init_pts.reshape(-1, 3)
-        valid_flat = valid.reshape(-1)
         rows = jnp.arange(H * W) // W
         cols = jnp.arange(H * W) % W
         pix = jnp.stack([cols.astype(jnp.float32), rows.astype(jnp.float32),
                          jnp.ones((H * W,), jnp.float32)], -1)
-        rays = view_rays(cam, pix)
+        out["init_pts"] = init_pts.reshape(-1, 3)
+        out["valid"] = valid.reshape(-1)
+        out["rays"] = view_rays(cam, pix)
+        return out
+
+    @jax.jit
+    def _color_chunk(params, bank, fid, init_pts, rays, idx, deformer):
+        """Solve + shade one fixed-size chunk of hit-pixel indices."""
+        cam = _camera(bank)
+        poses = bank["poses"][fid][None]
+        trans = bank["trans"][fid][None]
+        dcond = bank["cond_deformer"][fid][None]
+        pts0 = init_pts[idx]
+        v = rays[idx]
         c = cam_pos(cam)
-        bflat = jnp.zeros((H * W,), jnp.int32)
+        bflat = jnp.zeros((idx.shape[0],), jnp.int32)
         pts, done = optimize_surface_points(
-            params["sdf"], params["trans"], sdf_net, deformer, init_flat,
-            bflat, dcond, poses, trans, rays, c, 1.0, 1.0, cfg)
-        done = done & valid_flat
+            params["sdf"], params["trans"], sdf_net, deformer, pts0,
+            bflat, dcond, poses, trans, v, c, 1.0, 1.0, cfg)
         nx = jax.grad(lambda p: sdf_value_only(params["sdf"], sdf_net, p,
                                                1.0).sum())(pts)
         nx = normalize(nx)
@@ -112,20 +137,38 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False):
                                    dcond, poses, trans, 1.0)
         jinv, ok = inv3x3(jac)
         crays = jnp.where(ok[:, None],
-                          jnp.einsum("nij,nj->ni", jinv, rays), rays)
+                          jnp.einsum("nij,nj->ni", jinv, v), v)
         crays = normalize(crays)
         colors = render_apply(params["render"], render_net, pts, nx, crays,
                               feat, 1.0)
         colors = jnp.clip(colors / 2.0 + 0.5, 0.0, 1.0)
-        img = jnp.where(done[:, None], colors, 1.0).reshape(H, W, 3)
-        out["color_img"] = img
-        return out
+        return colors, done
 
     def infer_frame(params, bank, tmp, fid, gt_mask):
         # deformer passed as an argument (never closed over: the weight
         # volume would be inlined as an HLO constant, see Skinner docstring)
-        return _infer_frame(params, bank, tmp, fid, gt_mask,
-                            trainer.deformer)
+        out = _geom(params, bank, tmp, fid, gt_mask, trainer.deformer)
+        if notcolor:
+            return out
+        init_pts = out.pop("init_pts")
+        rays = out.pop("rays")
+        valid = np.asarray(out.pop("valid"))
+        img = np.ones((H * W, 3), np.float32)
+        (hit_idx,) = np.nonzero(valid)
+        for lo in range(0, hit_idx.size, chunk):
+            sel = hit_idx[lo:lo + chunk]
+            n = sel.size
+            if n < chunk:  # pad the tail chunk; padded lanes discarded below
+                sel = np.concatenate([sel, np.zeros(chunk - n, sel.dtype)])
+            colors, done = _color_chunk(params, bank, fid,
+                                        init_pts, rays,
+                                        jnp.asarray(sel, jnp.int32),
+                                        trainer.deformer)
+            colors = np.asarray(colors)[:n]
+            done = np.asarray(done)[:n]
+            img[sel[:n][done]] = colors[done]
+        out["color_img"] = jnp.asarray(img.reshape(H, W, 3))
+        return out
 
     return infer_frame
 
