@@ -163,11 +163,28 @@ def _splat_fwd_kernel(pts_ref, acc_ref, *, cb: int, cs: int, ncx: int,
         acc_ref[j] = jnp.sum(lt, axis=0)
 
 
+# Per-grid-step VMEM scales with cb * cap * cs^2 (the unrolled cell loop
+# keeps several (cap, P) intermediates live); the trainer GROWS cap from
+# occupancy telemetry, so large caps are split into <=_CAP_SLICE slices
+# OUTSIDE the kernel.  Valid because every candidate contributes an
+# independent additive log term (fwd) / independent gradient rows (bwd).
+# Measured: cap=1152 at cb=16 needed 19.23M scoped VMEM (> the 16M limit);
+# 512 puts a slice at ~8.5M.
+_CAP_SLICE = 512
+
+
 def splat_fwd_cells(pts: jnp.ndarray, cs: int, ncx: int, r_pix: float,
                     cb: int = 16):
     """pts (C, 2, cap) -> acc (C, cs*cs) accumulated log(1-w)."""
     C, A, cap = pts.shape
     assert A == 2 and C % cb == 0 and cap % 64 == 0, (pts.shape, cb)
+    if cap > _CAP_SLICE:
+        acc = None
+        for lo in range(0, cap, _CAP_SLICE):
+            part = splat_fwd_cells(pts[:, :, lo:lo + _CAP_SLICE], cs, ncx,
+                                   r_pix, cb)
+            acc = part if acc is None else acc + part
+        return acc
     P = cs * cs
     kern = functools.partial(_splat_fwd_kernel, cb=cb, cs=cs, ncx=ncx,
                              cap=cap, r2_inv=1.0 / float(r_pix * r_pix))
@@ -216,6 +233,11 @@ def splat_bwd_cells(pts: jnp.ndarray, cot: jnp.ndarray, cs: int, ncx: int,
     """pts (C,2,cap), cot (C, cs*cs) -> per-candidate grads (C, 2, cap)."""
     C, A, cap = pts.shape
     assert A == 2 and C % cb == 0 and cap % 64 == 0, (pts.shape, cb)
+    if cap > _CAP_SLICE:
+        parts = [splat_bwd_cells(pts[:, :, lo:lo + _CAP_SLICE], cot, cs, ncx,
+                                 r_pix, cb)
+                 for lo in range(0, cap, _CAP_SLICE)]
+        return jnp.concatenate(parts, axis=2)
     kern = functools.partial(_splat_bwd_kernel, cb=cb, cs=cs, ncx=ncx,
                              cap=cap, r2_inv=1.0 / float(r_pix * r_pix))
     return pl.pallas_call(

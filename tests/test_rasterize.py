@@ -151,3 +151,46 @@ def test_splat_mask_matches_mesh_coverage_roughly():
     inter = ((soft > 0.5) & (hard > 0.5)).sum()
     union = ((soft > 0.5) | (hard > 0.5)).sum()
     assert inter / union > 0.75
+
+
+def test_pallas_splat_large_cap_slicing_matches_xla():
+    """cell_cap > pallas_raster._CAP_SLICE must split the candidate axis into
+    VMEM-sized kernel slices (the trainer GROWS the cap from occupancy
+    telemetry; at 1080p acceptance density the grown cap blew the 16M scoped
+    VMEM limit). Additive log terms make slices exact, so the sliced Pallas
+    path must equal the XLA path bit-for-fp-bit in value AND gradient."""
+    from selfreconcode_tpu.ops import rasterize as R
+    from selfreconcode_tpu.ops.pallas_raster import _CAP_SLICE
+
+    cap = 1152
+    assert cap > _CAP_SLICE  # exercises the multi-slice path
+    H = W = 64
+    rng = np.random.default_rng(3)
+    # ~700 splats inside one 8x8 cell -> occupancy > _CAP_SLICE, <= cap
+    col = jnp.asarray(16.0 + 6.0 * rng.random(700), jnp.float32)
+    row = jnp.asarray(24.0 + 6.0 * rng.random(700), jnp.float32)
+    z = jnp.ones(700, jnp.float32)
+    pv = jnp.ones(700, bool)
+    r_pix = 3.2  # 2*r <= 8 -> the Pallas path is selected in production
+
+    m_pl, st_pl = R._splat_core_pl(col, row, z, pv, r_pix, H, W, cap)
+    m_x, st_x = R._splat_core(col, row, z, pv, r_pix, H, W, 8, cap)
+    assert int(st_pl[0]) == 0 and int(st_x[0]) == 0  # cap fits: no drops
+    np.testing.assert_allclose(np.asarray(m_pl), np.asarray(m_x),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_pl(c, r):
+        m, _ = R._splat_core_pl(c, r, z, pv, r_pix, H, W, cap)
+        return (m * m).sum()
+
+    def loss_x(c, r):
+        m, _ = R._splat_core(c, r, z, pv, r_pix, H, W, 8, cap)
+        return (m * m).sum()
+
+    gc_pl, gr_pl = jax.grad(loss_pl, argnums=(0, 1))(col, row)
+    gc_x, gr_x = jax.grad(loss_x, argnums=(0, 1))(col, row)
+    assert np.all(np.isfinite(np.asarray(gc_pl)))
+    np.testing.assert_allclose(np.asarray(gc_pl), np.asarray(gc_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gr_pl), np.asarray(gr_x),
+                               rtol=1e-4, atol=1e-5)

@@ -5,7 +5,7 @@
 # Wall-clock per stage comes from the train log's per-epoch lines.
 #
 #   bash tools/acceptance_run.sh [DATA_ROOT] [N_FRAMES] [EPOCHS]
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 DATA=${1:-/tmp/srtpu_accept}
 FRAMES=${2:-450}
