@@ -992,7 +992,12 @@ class Trainer:
             vcap=prev.vcap if prev else 16384,
             fcap=prev.fcap if prev else 32768,
             ecap=prev.ecap if prev else 49152,
-            splat_cap=prev.splat_cap if prev else 64,
+            # SRTPU_SPLAT_CAP0 seeds the first stage's cap with a known
+            # scene density (e.g. a previous run's grown value) so the run
+            # skips the cap-64 compile + watermark-growth rejit (~10 min
+            # through the remote-compile tunnel at production scale)
+            splat_cap=prev.splat_cap if prev
+            else int(os.environ.get("SRTPU_SPLAT_CAP0", 64)),
             mc_active_cap=65536,
             resolutions=res,
             sweep_caps=tuple(default_caps(res)),

@@ -419,8 +419,15 @@ _SPLAT_CAP = 64   # default per-cell candidate slots (kept as the floor; the
 
 
 def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap):
-    """Deterministic binning shared by the Pallas fwd and bwd."""
-    from .binning import build_cell_table_full
+    """Deterministic binning shared by the Pallas fwd and bwd.
+
+    Returns only O(entries)+O(cells) products (sorted entry order, run
+    starts/counts, inverse permutation) — the (C, cap) candidate table is
+    NEVER materialized; fwd/bwd construct (C, <=_CAP_SLICE) slices of it on
+    the fly (`_cand_slice`).  This bounds peak HBM independently of how far
+    the trainer's occupancy watermark grows the cap (at 1080p acceptance
+    density cap=1152 made the table + gathered attribute tensors ~170 MB
+    EACH, x N frames x fwd/bwd live at once -> device OOM)."""
     cs = 8
     ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
     ok = point_valid & (z > 0.0)
@@ -429,24 +436,47 @@ def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap):
         col - half, row - half, col + half, row + half,
         ok & (col + half >= 0) & (col - half <= W - 1)
         & (row + half >= 0) & (row - half <= H - 1), cs, ncx, ncy)
-    table, counts, ovf, starts, rank = build_cell_table_full(
-        cells, evalid, ncy * ncx, cap)
-    cand = jnp.where(table >= 0, prims[jnp.maximum(table, 0)], -1)
+    n_cells = ncy * ncx
+    M = cells.shape[0]
+    key = jnp.where(evalid, cells, n_cells).astype(jnp.int32)
+    payload = jnp.arange(M, dtype=jnp.int32)
+    sorted_key, sorted_idx = jax.lax.sort_key_val(key, payload)
+    crange = jnp.arange(n_cells + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_key, crange, side="left")
+    counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    _, rank = jax.lax.sort_key_val(sorted_idx, payload)
+    ovf = jnp.maximum(counts - cap, 0).sum()
     stats = jnp.stack([ovf, counts.max()]).astype(jnp.int32)
-    return cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand, stats
+    return (cs, ncy, ncx, Hp, Wp, cells, evalid, sorted_idx, starts, counts,
+            rank, stats)
+
+
+def _cand_slice(sorted_idx, starts, counts, n_pts, cap, lo, S):
+    """Slots [lo, lo+S) of the per-cell candidate table: (C, S) point ids or
+    -1.  Same slot->run-offset rule as binning.build_cell_table (identity
+    when the cell fits, even stride when it overflows)."""
+    from .binning import _strided_slot
+    slot = jnp.arange(lo, lo + S, dtype=jnp.int32)
+    off = _strided_slot(slot, counts, cap)                  # (C, S)
+    pos = jnp.clip(starts[:-1, None] + off, 0, sorted_idx.shape[0] - 1)
+    in_range = slot[None, :] < counts[:, None]
+    entry = sorted_idx[pos]
+    # entries are 4 stacked blocks of arange(n_pts) (bbox_cell_entries), so
+    # the prim id is entry mod n_pts — no (4N,) prims array to carry
+    return jnp.where(in_range, entry % n_pts, -1)
 
 
 def _splat_pts_tensor(col, row, cand):
-    """(C, 2, cap) candidate attribute tensor: rows [col, row]; invalid
+    """(C, 2, S) candidate attribute tensor: rows [col, row]; invalid
     entries carry a sentinel col >= BIG/2 (checked in-kernel), so the
     tensor is half the width of a separate validity row."""
     cvalid = cand >= 0
     cp = jnp.maximum(cand, 0)
     pdata = jnp.stack([col, row], axis=1)                 # (N, 2)
-    arr = pdata[cp]                                       # (C, cap, 2)
+    arr = pdata[cp]                                       # (C, S, 2)
     arr = jnp.where(cvalid[..., None], arr,
                     jnp.asarray(PR.BIG, col.dtype))
-    return jnp.swapaxes(arr, 1, 2)                        # (C, 2, cap)
+    return jnp.swapaxes(arr, 1, 2)                        # (C, 2, S)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -458,10 +488,16 @@ def _splat_core_pl(col, row, z, point_valid, r_pix, H, W, cap):
 def _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, cap, bin_=None):
     if bin_ is None:
         bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap)
-    (cs, ncy, ncx, Hp, Wp, cells, evalid, starts, rank, cand, stats) = bin_
-    pts_t = _splat_pts_tensor(col, row, cand)
-    pts_t, C = _pad_cells(pts_t)
-    acc = PR.splat_fwd_cells(pts_t, cs, ncx, r_pix, _CB)[:C]
+    (cs, ncy, ncx, Hp, Wp, cells, evalid, sorted_idx, starts, counts,
+     rank, stats) = bin_
+    N = col.shape[0]
+    acc = None
+    for lo in range(0, cap, PR._CAP_SLICE):
+        S = min(PR._CAP_SLICE, cap - lo)
+        cand = _cand_slice(sorted_idx, starts, counts, N, cap, lo, S)
+        pts_t, C = _pad_cells(_splat_pts_tensor(col, row, cand))
+        acc_s = PR.splat_fwd_cells(pts_t, cs, ncx, r_pix, _CB)[:C]
+        acc = acc_s if acc is None else acc + acc_s
     img = acc.reshape(ncy, ncx, cs, cs)
     img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp)[:H, :W]
     return 1.0 - jnp.exp(img), img, stats
@@ -473,7 +509,8 @@ def _splat_core_pl_fwd(col, row, z, point_valid, r_pix, H, W, cap):
     mask, _, stats = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W,
                                    cap, bin_)
     return (mask, stats), (col, row, z, point_valid, mask,
-                           bin_[5], bin_[6], bin_[7], bin_[8], bin_[9])
+                           bin_[5], bin_[6], bin_[7], bin_[8], bin_[9],
+                           bin_[10])
 
 
 def _splat_core_pl_bwd(r_pix, H, W, cap, res, g):
@@ -481,8 +518,9 @@ def _splat_core_pl_bwd(r_pix, H, W, cap, res, g):
     (d col, d row) sums over the cell's pixels; the inverse table permutation
     (second sort, computed in the binning's forward pass and carried in the
     residuals) gathers them back per entry, and the 4 fixed entry slots per
-    point reduce with plain adds."""
-    col, row, z, point_valid, mask, cells, evalid, starts, rank, cand = res
+    point reduce with plain adds.  Slice loop mirrors the forward's."""
+    (col, row, z, point_valid, mask, cells, evalid, sorted_idx, starts,
+     counts, rank) = res
     g, _ = g  # (mask cotangent, int overflow cotangent — discarded)
     cot_acc = -g * (1.0 - mask)
     cs = 8
@@ -491,25 +529,28 @@ def _splat_core_pl_bwd(r_pix, H, W, cap, res, g):
     cot_pad = jnp.pad(cot_acc, ((0, Hp - H), (0, Wp - W)))
     cot_cells = jnp.moveaxis(
         cot_pad.reshape(ncy, cs, ncx, cs), 1, 2).reshape(C, cs * cs)
-
-    pts_t = _splat_pts_tensor(col, row, cand)
-    pts_t, _ = _pad_cells(pts_t)
     cot_cells_p, _ = _pad_cells(cot_cells)
-    gc = PR.splat_bwd_cells(pts_t, cot_cells_p, cs, ncx, r_pix, _CB)[:C]
 
     # per-entry gather through the inverse permutation (stride-aware: cells
     # over capacity keep an even subsample of their run, binning.py)
     from .binning import table_slot_of_rank
-    counts_c = starts[jnp.minimum(cells + 1, starts.shape[0] - 1)] \
-        - starts[cells]
+    counts_c = counts[jnp.minimum(cells, counts.shape[0] - 1)]
     slot, selected = table_slot_of_rank(rank - starts[cells], counts_c, cap)
     in_table = evalid & selected
-    slot_c = jnp.clip(slot, 0, cap - 1)
-    flat = gc.reshape(-1)
-    base = (cells * 2) * cap + slot_c
-    g_col_e = jnp.where(in_table, flat[base], 0.0)
-    g_row_e = jnp.where(in_table, flat[base + cap], 0.0)
     N = col.shape[0]
+    g_col_e = jnp.zeros_like(col, shape=(4 * N,))
+    g_row_e = jnp.zeros_like(row, shape=(4 * N,))
+    for lo in range(0, cap, PR._CAP_SLICE):
+        S = min(PR._CAP_SLICE, cap - lo)
+        cand = _cand_slice(sorted_idx, starts, counts, N, cap, lo, S)
+        pts_t, _ = _pad_cells(_splat_pts_tensor(col, row, cand))
+        gc = PR.splat_bwd_cells(pts_t, cot_cells_p, cs, ncx, r_pix, _CB)[:C]
+        flat = gc.reshape(-1)
+        in_s = in_table & (slot >= lo) & (slot < lo + S)
+        local = jnp.clip(slot - lo, 0, S - 1)
+        base = (cells * 2) * S + local
+        g_col_e = g_col_e + jnp.where(in_s, flat[base], 0.0)
+        g_row_e = g_row_e + jnp.where(in_s, flat[base + S], 0.0)
     g_col = g_col_e.reshape(4, N).sum(0)
     g_row = g_row_e.reshape(4, N).sum(0)
     return g_col, g_row, jnp.zeros_like(z), jnp.zeros_like(point_valid)
