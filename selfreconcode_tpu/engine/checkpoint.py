@@ -37,7 +37,8 @@ def save_checkpoint(path: str, trainer, epoch: int):
         "forward_time": trainer.forward_time,
         "stage": trainer.stage_cfg.name if trainer.stage_cfg else None,
         "caps": ((trainer.stage_cfg.vcap, trainer.stage_cfg.fcap,
-                  trainer.stage_cfg.ecap, trainer.stage_cfg.splat_cap)
+                  trainer.stage_cfg.ecap, trainer.stage_cfg.splat_cap,
+                  trainer.stage_cfg.splat_cells)
                  if trainer.stage_cfg else None),
         "params": _to_numpy(state.params),
         "bank": _to_numpy(state.bank),
@@ -72,6 +73,8 @@ def load_checkpoint(path: str, trainer, sdf_params: Optional[Any] = None,
             trainer.override_stage(vcap=caps[0], fcap=caps[1], ecap=caps[2])
             if len(caps) > 3:  # splat cap added in r3; old ckpts lack it
                 trainer.override_stage(splat_cap=caps[3])
+            if len(caps) > 4:  # active-cell capacity added later in r3
+                trainer.override_stage(splat_cells=caps[4])
     tmp = TemplateState(**_to_jnp(payload["tmp"]))
     if drop_opt_state or sdf_params is not None:
         opt_state = trainer.optimizer.init((params, bank))

@@ -110,6 +110,20 @@ class StageStatic:
                                 # occupancy (reference parity: the exhaustive
                                 # per-pixel scatter never drops coverage,
                                 # model/CameraMine.py:266-304)
+    splat_cells: int = 4096     # ACTIVE-cell compaction capacity (cells the
+                                # splat cloud touches; ~10% of cells at 1080p)
+                                # — grown by the same watermark from stats[2]
+    splat_cap_max: int = 256    # growth ceiling for splat_cap.  Measured A/B
+                                # at 1080p acceptance density (tools/
+                                # bench_splat.py, PERF.md): cap 256 vs the
+                                # exact occupancy-sized cap differs by
+                                # loss d=1e-6, grad cos 0.99976 — the mask
+                                # saturates under overlapping splats, so
+                                # candidates beyond ~256/cell carry no
+                                # gradient.  (The reference itself keeps only
+                                # the 50 nearest splats per PIXEL,
+                                # CameraMine.py:266-304.)  Raise via
+                                # SRTPU_SPLAT_CAP_MAX to go exact.
     window: int = 30            # DCT temporal window
     dct_k: int = 10
     opt_pose: bool = True
@@ -245,20 +259,22 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
         def_verts = def_flat.reshape(N, vcap, 3)
         splat_outs = [
             splat_mask(cam, def_verts[i], tmp.vert_valid, cfg.radius,
-                       cell_cap=cfg.splat_cap, return_overflow=True)
+                       cell_cap=cfg.splat_cap, active_cells=cfg.splat_cells,
+                       return_overflow=True)
             for i in range(N)]
         masks = jnp.stack([m for m, _ in splat_outs])
-        stats = jnp.stack([s for _, s in splat_outs])          # (N, 2)
+        stats = jnp.stack([s for _, s in splat_outs])          # (N, 3)
         mask_loss = L.iou_mask_loss(masks, mgtMs)
         loss = mask_loss * w.pc_mask_weight
         info = {"pc_mask_loss": mask_loss,
-                # dropped splat candidates in overfull bin cells; nonzero =
-                # scene denser than cfg.splat_cap.  The trainer's remesh-tick
-                # watermark reads these and grows the cap (rejit) so the
-                # decimation repairs itself instead of degrading the mask
-                # gradient silently for the whole run.
+                # dropped splat candidates (overfull bin cells + cells beyond
+                # the active-cell capacity); nonzero = scene denser than the
+                # stage caps.  The trainer's remesh-tick watermark reads
+                # these and grows both caps (rejit) so the decimation repairs
+                # itself instead of degrading the mask gradient silently.
                 "splat_overflow": stats[:, 0].sum(),
-                "splat_max_cell": stats[:, 1].max()}
+                "splat_max_cell": stats[:, 1].max(),
+                "splat_active": stats[:, 2].max()}
         if w.laplacian_weight > 0.0:
             lap = meshops.uniform_laplacian_loss(
                 tmp_verts, tmp.edges, tmp.edge_valid, tmp.vert_valid)
@@ -933,12 +949,18 @@ class Trainer:
             return
         cfg = self.stage_cfg
         need = int(info.get("splat_max_cell", 0))
-        new_cap = min(8192, max(-(-int(need * 1.25) // 64) * 64,
-                                cfg.splat_cap))
-        if new_cap > cfg.splat_cap:
-            print(f"growing splat cell cap {cfg.splat_cap} -> {new_cap} "
-                  f"(measured max cell occupancy {need})", flush=True)
-            self.stage_cfg = dataclass_replace(cfg, splat_cap=new_cap)
+        new_cap = min(cfg.splat_cap_max,
+                      max(-(-int(need * 1.25) // 64) * 64, cfg.splat_cap))
+        n_act = int(info.get("splat_active", 0))
+        new_cells = min(65536, max(-(-int(n_act * 1.25) // 64) * 64,
+                                   cfg.splat_cells))
+        if new_cap > cfg.splat_cap or new_cells > cfg.splat_cells:
+            print(f"growing splat caps cell_cap {cfg.splat_cap} -> "
+                  f"{new_cap} (max occupancy {need}), active_cells "
+                  f"{cfg.splat_cells} -> {new_cells} (active {n_act})",
+                  flush=True)
+            self.stage_cfg = dataclass_replace(cfg, splat_cap=new_cap,
+                                               splat_cells=new_cells)
             self._step_fn = None
 
     def _stage_footprint(self, res) -> int:
@@ -998,6 +1020,10 @@ class Trainer:
             # through the remote-compile tunnel at production scale)
             splat_cap=prev.splat_cap if prev
             else int(os.environ.get("SRTPU_SPLAT_CAP0", 64)),
+            splat_cells=prev.splat_cells if prev
+            else int(os.environ.get("SRTPU_SPLAT_CELLS0", 4096)),
+            splat_cap_max=prev.splat_cap_max if prev
+            else int(os.environ.get("SRTPU_SPLAT_CAP_MAX", 256)),
             mc_active_cap=65536,
             resolutions=res,
             sweep_caps=tuple(default_caps(res)),

@@ -200,6 +200,117 @@ def splat_fwd_cells(pts: jnp.ndarray, cs: int, ncx: int, r_pix: float,
     )(pts)
 
 
+def _splat_fwd_kernel_idx(ids_ref, pts_ref, acc_ref, *, cb: int, cs: int,
+                          ncx: int, cap: int, r2_inv: float):
+    """Like _splat_fwd_kernel, but each block row's CELL ID comes from the
+    scalar-prefetched ids vector instead of the grid index — the caller
+    passes only ACTIVE cells (cells with any candidate), so kernel work and
+    DMA scale with silhouette coverage (~10% of cells at 1080p), not the
+    image area."""
+    P = cs * cs
+    i = pl.program_id(0)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (cap, P), 1)
+    lx = (pix % cs).astype(jnp.float32)
+    ly = (pix // cs).astype(jnp.float32)
+    for j in range(cb):
+        blk = pts_ref[j]                           # (2, cap)
+        c = ids_ref[i * cb + j]
+        cx0 = ((c % ncx) * cs).astype(jnp.float32)
+        cy0 = ((c // ncx) * cs).astype(jnp.float32)
+        col = blk[0][:, None]
+        row = blk[1][:, None]
+        valid = col < BIG / 2                      # sentinel -> invalid
+        dc = col - (cx0 + lx)
+        dr = row - (cy0 + ly)
+        w = 1.0 - (dc * dc + dr * dr) * r2_inv
+        w = jnp.clip(w, 0.0, 1.0 - 1e-5)
+        lt = jnp.where(valid, jnp.log1p(-w), 0.0)  # (cap, P)
+        acc_ref[j] = jnp.sum(lt, axis=0)
+
+
+def splat_fwd_cells_idx(pts: jnp.ndarray, cell_ids: jnp.ndarray, cs: int,
+                        ncx: int, r_pix: float, cb: int = 16):
+    """pts (A, 2, cap) for the ACTIVE cells cell_ids (A,) int32 -> acc
+    (A, cs*cs).  Padding rows carry an arbitrary id + sentinel pts."""
+    A, n, cap = pts.shape
+    assert n == 2 and A % cb == 0 and cap % 64 == 0, (pts.shape, cb)
+    assert cell_ids.shape == (A,)
+    if cap > _CAP_SLICE:
+        acc = None
+        for lo in range(0, cap, _CAP_SLICE):
+            part = splat_fwd_cells_idx(pts[:, :, lo:lo + _CAP_SLICE],
+                                       cell_ids, cs, ncx, r_pix, cb)
+            acc = part if acc is None else acc + part
+        return acc
+    P = cs * cs
+    kern = functools.partial(_splat_fwd_kernel_idx, cb=cb, cs=cs, ncx=ncx,
+                             cap=cap, r2_inv=1.0 / float(r_pix * r_pix))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(A // cb,),
+        in_specs=[pl.BlockSpec((cb, 2, cap), lambda i, ids: (i, 0, 0))],
+        out_specs=pl.BlockSpec((cb, P), lambda i, ids: (i, 0)),
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((A, P), jnp.float32),
+        interpret=_interpret(),
+    )(cell_ids.astype(jnp.int32), pts)
+
+
+def _splat_bwd_kernel_idx(ids_ref, pts_ref, cot_ref, g_ref, *, cb: int,
+                          cs: int, ncx: int, cap: int, r2_inv: float):
+    P = cs * cs
+    i = pl.program_id(0)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (cap, P), 1)
+    lx = (pix % cs).astype(jnp.float32)
+    ly = (pix // cs).astype(jnp.float32)
+    for j in range(cb):
+        blk = pts_ref[j]                           # (2, cap)
+        cot = cot_ref[j][None, :]                  # (1, P)
+        c = ids_ref[i * cb + j]
+        cx0 = ((c % ncx) * cs).astype(jnp.float32)
+        cy0 = ((c // ncx) * cs).astype(jnp.float32)
+        col = blk[0][:, None]
+        row = blk[1][:, None]
+        valid = col < BIG / 2
+        dc = col - (cx0 + lx)
+        dr = row - (cy0 + ly)
+        w = 1.0 - (dc * dc + dr * dr) * r2_inv
+        act = (w > 0.0) & (w < 1.0 - 1e-5) & valid
+        coef = jnp.where(act, 2.0 * r2_inv / (1.0 - jnp.clip(w, 0.0, 1.0 - 1e-5)),
+                         0.0) * cot                # (cap, P)
+        g_ref[j, 0] = jnp.sum(coef * dc, axis=1)   # (cap,)
+        g_ref[j, 1] = jnp.sum(coef * dr, axis=1)
+
+
+def splat_bwd_cells_idx(pts: jnp.ndarray, cell_ids: jnp.ndarray,
+                        cot: jnp.ndarray, cs: int, ncx: int, r_pix: float,
+                        cb: int = 16):
+    """pts (A,2,cap), cell_ids (A,), cot (A, cs*cs) -> grads (A, 2, cap)."""
+    A, n, cap = pts.shape
+    assert n == 2 and A % cb == 0 and cap % 64 == 0, (pts.shape, cb)
+    if cap > _CAP_SLICE:
+        parts = [splat_bwd_cells_idx(pts[:, :, lo:lo + _CAP_SLICE], cell_ids,
+                                     cot, cs, ncx, r_pix, cb)
+                 for lo in range(0, cap, _CAP_SLICE)]
+        return jnp.concatenate(parts, axis=2)
+    kern = functools.partial(_splat_bwd_kernel_idx, cb=cb, cs=cs, ncx=ncx,
+                             cap=cap, r2_inv=1.0 / float(r_pix * r_pix))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(A // cb,),
+        in_specs=[pl.BlockSpec((cb, 2, cap), lambda i, ids: (i, 0, 0)),
+                  pl.BlockSpec((cb, cs * cs), lambda i, ids: (i, 0))],
+        out_specs=pl.BlockSpec((cb, 2, cap), lambda i, ids: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((A, 2, cap), jnp.float32),
+        interpret=_interpret(),
+    )(cell_ids.astype(jnp.int32), pts, cot)
+
+
 def _splat_bwd_kernel(pts_ref, cot_ref, g_ref, *, cb: int, cs: int,
                       ncx: int, cap: int, r2_inv: float):
     P = cs * cs

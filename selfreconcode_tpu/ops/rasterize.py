@@ -281,6 +281,7 @@ def _rasterize_mesh_pallas(cam: Camera, verts: jnp.ndarray,
 def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
                radius_ndc: float, footprint: int = 9,
                image_scale: int = 1, cell_cap: int = 64,
+               active_cells: int = 4096,
                return_overflow: bool = False):
     """Soft mask (H/s, W/s) in [0, 1] from world-space points.
 
@@ -296,10 +297,17 @@ def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
     per-pixel scatter (PointsRasterizer(points_per_pixel=50) keeps EVERY
     covering splat up to 50/px, model/CameraMine.py:266-304).
 
-    return_overflow=True additionally returns a (2,) int32 stats vector:
-    [dropped candidate entries in overfull cells, max cell occupancy].
-    stats[0] > 0 means the cloud is denser than cell_cap and the mask is
-    degrading; stats[1] is the cap that would have sufficed.
+    active_cells: capacity of the ACTIVE-cell compaction (Pallas path only;
+    cells the cloud actually touches — ~10% of cells at 1080p — are gathered
+    into a fixed-size list so kernel work scales with silhouette coverage).
+    Cells beyond the capacity are dropped and counted into stats[0]; the
+    trainer grows the stage's value from stats[2].
+
+    return_overflow=True additionally returns a (3,) int32 stats vector:
+    [dropped candidate entries (cap overflow + dropped cells),
+     max cell occupancy, active cell count].
+    stats[0] > 0 means the mask is degrading; stats[1]/stats[2] are the
+    cell_cap/active_cells values that would have sufficed.
     """
     H, W = cam.H // image_scale, cam.W // image_scale
     r_pix = radius_ndc * (cam.W / image_scale) / 2.0
@@ -312,7 +320,7 @@ def splat_mask(cam: Camera, points: jnp.ndarray, point_valid: jnp.ndarray,
     if PALLAS_ENABLED and 2.0 * r_pix <= 8.0:
         # splat bbox fits an 8px cell -> Pallas kernel path
         mask, stats = _splat_core_pl(col, row, z, point_valid, float(r_pix),
-                                     H, W, cap)
+                                     H, W, cap, int(active_cells))
     else:
         mask, stats = _splat_core(col, row, z, point_valid, float(r_pix), H,
                                   W, k, cap)
@@ -351,7 +359,8 @@ def _splat_bin(col, row, z, point_valid, r_pix, H, W, k, cell_cap):
     lx = jnp.arange(cs)
     px = ((cell_ids % ncx) * cs)[:, None] + jnp.tile(lx, cs)[None, :]
     py = ((cell_ids // ncx) * cs)[:, None] + jnp.repeat(lx, cs)[None, :]
-    stats = jnp.stack([ovf, counts.max()]).astype(jnp.int32)
+    stats = jnp.stack([ovf, counts.max(),
+                       (counts > 0).sum()]).astype(jnp.int32)
     return (cs, ncy, ncx, Hp, Wp, table, cand, px, py, stats)
 
 
@@ -418,16 +427,26 @@ _SPLAT_CAP = 64   # default per-cell candidate slots (kept as the floor; the
                   # see splat_mask's cell_cap docstring)
 
 
-def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap):
+def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap,
+                  active_cells=4096):
     """Deterministic binning shared by the Pallas fwd and bwd.
 
-    Returns only O(entries)+O(cells) products (sorted entry order, run
-    starts/counts, inverse permutation) — the (C, cap) candidate table is
-    NEVER materialized; fwd/bwd construct (C, <=_CAP_SLICE) slices of it on
-    the fly (`_cand_slice`).  This bounds peak HBM independently of how far
-    the trainer's occupancy watermark grows the cap (at 1080p acceptance
-    density cap=1152 made the table + gathered attribute tensors ~170 MB
-    EACH, x N frames x fwd/bwd live at once -> device OOM)."""
+    Two structural properties keep cost and memory bounded at production
+    density (1080p acceptance scene: ~216k entries, 18225 cells, max cell
+    occupancy ~600-900):
+
+    * The (cells, cap) candidate table is NEVER materialized: only
+      O(entries)+O(cells) sort products are returned, and fwd/bwd construct
+      (A, <=_CAP_SLICE) table slices on the fly (`_cand_slice`).  Peak HBM is
+      then independent of how far the occupancy watermark grows the cap (the
+      dense table at cap=1152 was ~170 MB per tensor x N frames -> OOM).
+    * Only ACTIVE cells (any candidate; ~10% of cells — the silhouette) are
+      processed: their ids are compacted into a fixed-size (A,) list consumed
+      by the scalar-prefetch kernels, so kernel work + DMA + gathers scale
+      with silhouette coverage, not image area (measured 18.6x less splat
+      work at the acceptance scene).  stats[2] reports the true active count
+      for the trainer's watermark.
+    """
     cs = 8
     ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
     ok = point_valid & (z > 0.0)
@@ -445,21 +464,35 @@ def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap):
     starts = jnp.searchsorted(sorted_key, crange, side="left")
     counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
     _, rank = jax.lax.sort_key_val(sorted_idx, payload)
-    ovf = jnp.maximum(counts - cap, 0).sum()
-    stats = jnp.stack([ovf, counts.max()]).astype(jnp.int32)
-    return (cs, ncy, ncx, Hp, Wp, cells, evalid, sorted_idx, starts, counts,
-            rank, stats)
+
+    # active-cell compaction (ascending ids, padded with the n_cells
+    # sentinel whose count is defined as 0 below)
+    A = min(int(active_cells), n_cells)
+    A = -(-A // _CB) * _CB
+    act_ids = jnp.nonzero(counts > 0, size=A, fill_value=n_cells)[0] \
+        .astype(jnp.int32)
+    counts_ext = jnp.concatenate(
+        [counts, jnp.zeros((1,), counts.dtype)])
+    starts_a = starts[act_ids]                     # (A,) run starts
+    counts_a = counts_ext[act_ids]                 # (A,) run lengths
+    n_active = (counts > 0).sum()
+    kept = jnp.minimum(counts_a, cap).sum()
+    ovf = evalid.sum().astype(jnp.int32) - kept    # cap drops + cell drops
+    stats = jnp.stack([ovf, counts.max(), n_active]).astype(jnp.int32)
+    return (cs, ncy, ncx, Hp, Wp, cells, evalid, sorted_idx,
+            act_ids, starts_a, counts_a, rank, starts, stats)
 
 
-def _cand_slice(sorted_idx, starts, counts, n_pts, cap, lo, S):
-    """Slots [lo, lo+S) of the per-cell candidate table: (C, S) point ids or
-    -1.  Same slot->run-offset rule as binning.build_cell_table (identity
+def _cand_slice(sorted_idx, starts_rows, counts_rows, n_pts, cap, lo, S):
+    """Slots [lo, lo+S) of the candidate table rows described by
+    (starts_rows, counts_rows) (one row per ACTIVE cell): (A, S) point ids
+    or -1.  Same slot->run-offset rule as binning.build_cell_table (identity
     when the cell fits, even stride when it overflows)."""
     from .binning import _strided_slot
     slot = jnp.arange(lo, lo + S, dtype=jnp.int32)
-    off = _strided_slot(slot, counts, cap)                  # (C, S)
-    pos = jnp.clip(starts[:-1, None] + off, 0, sorted_idx.shape[0] - 1)
-    in_range = slot[None, :] < counts[:, None]
+    off = _strided_slot(slot, counts_rows, cap)             # (A, S)
+    pos = jnp.clip(starts_rows[:, None] + off, 0, sorted_idx.shape[0] - 1)
+    in_range = slot[None, :] < counts_rows[:, None]
     entry = sorted_idx[pos]
     # entries are 4 stacked blocks of arange(n_pts) (bbox_cell_entries), so
     # the prim id is entry mod n_pts — no (4N,) prims array to carry
@@ -479,76 +512,95 @@ def _splat_pts_tensor(col, row, cand):
     return jnp.swapaxes(arr, 1, 2)                        # (C, 2, S)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _splat_core_pl(col, row, z, point_valid, r_pix, H, W, cap):
-    mask, _, stats = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, cap)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _splat_core_pl(col, row, z, point_valid, r_pix, H, W, cap, acells):
+    mask, _, stats = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W,
+                                   cap, acells)
     return mask, stats
 
 
-def _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, cap, bin_=None):
+def _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W, cap, acells,
+                  bin_=None):
     if bin_ is None:
-        bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap)
-    (cs, ncy, ncx, Hp, Wp, cells, evalid, sorted_idx, starts, counts,
-     rank, stats) = bin_
+        bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap,
+                             acells)
+    (cs, ncy, ncx, Hp, Wp, cells, evalid, sorted_idx, act_ids, starts_a,
+     counts_a, rank, starts, stats) = bin_
     N = col.shape[0]
+    n_cells = ncy * ncx
     acc = None
     for lo in range(0, cap, PR._CAP_SLICE):
         S = min(PR._CAP_SLICE, cap - lo)
-        cand = _cand_slice(sorted_idx, starts, counts, N, cap, lo, S)
-        pts_t, C = _pad_cells(_splat_pts_tensor(col, row, cand))
-        acc_s = PR.splat_fwd_cells(pts_t, cs, ncx, r_pix, _CB)[:C]
+        cand = _cand_slice(sorted_idx, starts_a, counts_a, N, cap, lo, S)
+        pts_t = _splat_pts_tensor(col, row, cand)           # (A, 2, S)
+        acc_s = PR.splat_fwd_cells_idx(pts_t, act_ids, cs, ncx, r_pix, _CB)
         acc = acc_s if acc is None else acc + acc_s
-    img = acc.reshape(ncy, ncx, cs, cs)
+    # scatter-free image assembly: gather each full cell's row from the
+    # compacted accumulator (act_ids ascending; misses -> empty cell)
+    crange = jnp.arange(n_cells, dtype=jnp.int32)
+    pos = jnp.clip(jnp.searchsorted(act_ids, crange), 0,
+                   act_ids.shape[0] - 1)
+    found = act_ids[pos] == crange
+    acc_full = jnp.where(found[:, None], acc[pos], 0.0)     # (C, P)
+    img = acc_full.reshape(ncy, ncx, cs, cs)
     img = jnp.moveaxis(img, 2, 1).reshape(Hp, Wp)[:H, :W]
     return 1.0 - jnp.exp(img), img, stats
 
 
-def _splat_core_pl_fwd(col, row, z, point_valid, r_pix, H, W, cap):
+def _splat_core_pl_fwd(col, row, z, point_valid, r_pix, H, W, cap, acells):
     # binning products ride in the residuals so the backward skips the sort
-    bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap)
+    bin_ = _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap, acells)
     mask, _, stats = _splat_fwd_pl(col, row, z, point_valid, r_pix, H, W,
-                                   cap, bin_)
+                                   cap, acells, bin_)
     return (mask, stats), (col, row, z, point_valid, mask,
                            bin_[5], bin_[6], bin_[7], bin_[8], bin_[9],
-                           bin_[10])
+                           bin_[10], bin_[11], bin_[12])
 
 
-def _splat_core_pl_bwd(r_pix, H, W, cap, res, g):
+def _splat_core_pl_bwd(r_pix, H, W, cap, acells, res, g):
     """Backward without any scatter: a Pallas kernel produces per-candidate
-    (d col, d row) sums over the cell's pixels; the inverse table permutation
-    (second sort, computed in the binning's forward pass and carried in the
-    residuals) gathers them back per entry, and the 4 fixed entry slots per
-    point reduce with plain adds.  Slice loop mirrors the forward's."""
-    (col, row, z, point_valid, mask, cells, evalid, sorted_idx, starts,
-     counts, rank) = res
+    (d col, d row) sums over the active cells' pixels; the inverse table
+    permutation (second sort, carried in the residuals) gathers them back
+    per entry, and the 4 fixed entry slots per point reduce with plain adds.
+    Slice loop mirrors the forward's."""
+    (col, row, z, point_valid, mask, cells, evalid, sorted_idx, act_ids,
+     starts_a, counts_a, rank, starts) = res
     g, _ = g  # (mask cotangent, int overflow cotangent — discarded)
     cot_acc = -g * (1.0 - mask)
     cs = 8
     ncy, ncx, Hp, Wp = _cell_geometry(H, W, cs)
-    C = ncy * ncx
+    n_cells = ncy * ncx
     cot_pad = jnp.pad(cot_acc, ((0, Hp - H), (0, Wp - W)))
     cot_cells = jnp.moveaxis(
-        cot_pad.reshape(ncy, cs, ncx, cs), 1, 2).reshape(C, cs * cs)
-    cot_cells_p, _ = _pad_cells(cot_cells)
+        cot_pad.reshape(ncy, cs, ncx, cs), 1, 2).reshape(n_cells, cs * cs)
+    cot_act = cot_cells[jnp.clip(act_ids, 0, n_cells - 1)]  # (A, P)
 
-    # per-entry gather through the inverse permutation (stride-aware: cells
-    # over capacity keep an even subsample of their run, binning.py)
+    # per-entry inverse mapping: run offset -> table slot (stride-aware:
+    # cells over capacity keep an even subsample of their run, binning.py)
+    # + the entry's ACTIVE row (searchsorted over the ascending id list)
     from .binning import table_slot_of_rank
-    counts_c = counts[jnp.minimum(cells, counts.shape[0] - 1)]
+    counts_full = jnp.concatenate(
+        [starts[1:] - starts[:-1],
+         jnp.zeros((1,), starts.dtype)]).astype(jnp.int32)
+    counts_c = counts_full[jnp.minimum(cells, n_cells - 1)]
     slot, selected = table_slot_of_rank(rank - starts[cells], counts_c, cap)
-    in_table = evalid & selected
+    arow = jnp.clip(jnp.searchsorted(act_ids, cells), 0,
+                    act_ids.shape[0] - 1)
+    in_act = act_ids[arow] == cells                         # dropped cells out
+    in_table = evalid & selected & in_act
     N = col.shape[0]
     g_col_e = jnp.zeros_like(col, shape=(4 * N,))
     g_row_e = jnp.zeros_like(row, shape=(4 * N,))
     for lo in range(0, cap, PR._CAP_SLICE):
         S = min(PR._CAP_SLICE, cap - lo)
-        cand = _cand_slice(sorted_idx, starts, counts, N, cap, lo, S)
-        pts_t, _ = _pad_cells(_splat_pts_tensor(col, row, cand))
-        gc = PR.splat_bwd_cells(pts_t, cot_cells_p, cs, ncx, r_pix, _CB)[:C]
+        cand = _cand_slice(sorted_idx, starts_a, counts_a, N, cap, lo, S)
+        pts_t = _splat_pts_tensor(col, row, cand)           # (A, 2, S)
+        gc = PR.splat_bwd_cells_idx(pts_t, act_ids, cot_act, cs, ncx,
+                                    r_pix, _CB)
         flat = gc.reshape(-1)
         in_s = in_table & (slot >= lo) & (slot < lo + S)
         local = jnp.clip(slot - lo, 0, S - 1)
-        base = (cells * 2) * S + local
+        base = (arow * 2) * S + local
         g_col_e = g_col_e + jnp.where(in_s, flat[base], 0.0)
         g_row_e = g_row_e + jnp.where(in_s, flat[base + S], 0.0)
     g_col = g_col_e.reshape(4, N).sum(0)

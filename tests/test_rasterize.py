@@ -173,14 +173,14 @@ def test_pallas_splat_large_cap_slicing_matches_xla():
     pv = jnp.ones(700, bool)
     r_pix = 3.2  # 2*r <= 8 -> the Pallas path is selected in production
 
-    m_pl, st_pl = R._splat_core_pl(col, row, z, pv, r_pix, H, W, cap)
+    m_pl, st_pl = R._splat_core_pl(col, row, z, pv, r_pix, H, W, cap, 4096)
     m_x, st_x = R._splat_core(col, row, z, pv, r_pix, H, W, 8, cap)
     assert int(st_pl[0]) == 0 and int(st_x[0]) == 0  # cap fits: no drops
     np.testing.assert_allclose(np.asarray(m_pl), np.asarray(m_x),
                                rtol=1e-5, atol=1e-6)
 
     def loss_pl(c, r):
-        m, _ = R._splat_core_pl(c, r, z, pv, r_pix, H, W, cap)
+        m, _ = R._splat_core_pl(c, r, z, pv, r_pix, H, W, cap, 4096)
         return (m * m).sum()
 
     def loss_x(c, r):
@@ -194,3 +194,31 @@ def test_pallas_splat_large_cap_slicing_matches_xla():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gr_pl), np.asarray(gr_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_active_cell_capacity_drop_is_counted():
+    """Cells beyond the active-cell capacity must be COUNTED into stats[0]
+    (watermark contract), and stats[2] must report the TRUE active count so
+    the trainer can size the growth."""
+    from selfreconcode_tpu.ops import rasterize as R
+    H = W = 64
+    # splats centered in 25 separate 8px cells (> the 16-cell capacity below)
+    ii, jj = np.meshgrid(np.arange(5), np.arange(5))
+    n = 25
+    col = jnp.asarray(ii.ravel() * 8.0 + 4.0, jnp.float32)
+    row = jnp.asarray(jj.ravel() * 8.0 + 4.0, jnp.float32)
+    z = jnp.ones(n, jnp.float32)
+    pv = jnp.ones(n, bool)
+    # full capacity: every cell kept
+    m_full, st_full = R._splat_core_pl(col, row, z, pv, 3.0, H, W, 64, 64)
+    assert int(st_full[0]) == 0
+    n_act = int(st_full[2])
+    assert n_act >= n  # each splat touches >= 1 distinct cell
+    # capacity 16 (one _CB block) < active count -> drops counted
+    m_tiny, st_tiny = R._splat_core_pl(col, row, z, pv, 3.0, H, W, 64, 16)
+    assert int(st_tiny[2]) == n_act  # true count still reported
+    assert int(st_tiny[0]) > 0
+    # kept cells render identically (ascending-id prefix is kept)
+    mf, mt = np.asarray(m_full), np.asarray(m_tiny)
+    rendered = mt.sum()
+    assert rendered > 0 and rendered < mf.sum()

@@ -52,10 +52,17 @@ def test_splat_cap_watermark_noop_without_overflow():
 
 
 def test_splat_cap_watermark_is_bounded():
+    """Growth clamps at splat_cap_max — the measured-saturation policy
+    (tools/bench_splat.py A/B; see StageStatic.splat_cap_max)."""
     tr = _bare_trainer_with_stage()
     tr.info = {"splat_overflow": 1.0, "splat_max_cell": 1e9}
     tr._check_splat_cap()
-    assert tr.stage_cfg.splat_cap == 8192  # hard ceiling
+    assert tr.stage_cfg.splat_cap == tr.stage_cfg.splat_cap_max
+    # the ceiling itself is a stage field: raising it re-enables exactness
+    tr.override_stage(splat_cap_max=8192)
+    tr.info = {"splat_overflow": 1.0, "splat_max_cell": 1e9}
+    tr._check_splat_cap()
+    assert tr.stage_cfg.splat_cap == 8192
 
 
 @pytest.mark.slow
