@@ -72,7 +72,10 @@ def load_checkpoint(path: str, trainer, sdf_params: Optional[Any] = None,
             caps = payload["caps"]
             trainer.override_stage(vcap=caps[0], fcap=caps[1], ecap=caps[2])
             if len(caps) > 3:  # splat cap added in r3; old ckpts lack it
-                trainer.override_stage(splat_cap=caps[3])
+                # clamp to the live session's saturation policy (a checkpoint
+                # written under a larger SRTPU_SPLAT_CAP_MAX must not undo it)
+                trainer.override_stage(splat_cap=min(
+                    caps[3], trainer.stage_cfg.splat_cap_max))
             if len(caps) > 4:  # active-cell capacity added later in r3
                 trainer.override_stage(splat_cells=caps[4])
     tmp = TemplateState(**_to_jnp(payload["tmp"]))
