@@ -952,8 +952,18 @@ class Trainer:
         new_cap = min(cfg.splat_cap_max,
                       max(-(-int(need * 1.25) // 64) * 64, cfg.splat_cap))
         n_act = int(info.get("splat_active", 0))
-        new_cells = min(65536, max(-(-int(n_act * 1.25) // 64) * 64,
-                                   cfg.splat_cells))
+        # Grow the active-cell list ONLY when cells were actually dropped
+        # (n_act saturated the capacity).  Demanding 25% headroom over the
+        # measured count unconditionally caused a ~180 s recompile for a 5%
+        # bump (2560 -> 2688 with only 2109 active) in the round-3 acceptance
+        # run — overflow from certified-saturated candidate drops (cap at
+        # splat_cap_max) must not trigger cell growth.
+        if n_act >= cfg.splat_cells:
+            new_cells = min(65536, max(-(-int(n_act * 1.25) // 64) * 64,
+                                       -(-int(cfg.splat_cells * 5 // 4)
+                                         // 64) * 64))
+        else:
+            new_cells = cfg.splat_cells
         if new_cap > cfg.splat_cap or new_cells > cfg.splat_cells:
             print(f"growing splat caps cell_cap {cfg.splat_cap} -> "
                   f"{new_cap} (max occupancy {need}), active_cells "

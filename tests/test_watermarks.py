@@ -51,6 +51,27 @@ def test_splat_cap_watermark_noop_without_overflow():
     assert tr._step_fn == "compiled-sentinel"
 
 
+def test_splat_cells_only_grow_on_actual_drop():
+    """Certified-saturated candidate overflow (cap already at splat_cap_max)
+    must NOT trigger an active-cell growth rejit while the measured active
+    count fits the capacity — a 5% cell bump cost a ~180 s recompile in the
+    round-3 acceptance run (epoch 8) for zero retained candidates."""
+    tr = _bare_trainer_with_stage(splat_cap=256, splat_cells=2560)
+    assert tr.stage_cfg.splat_cap_max == 256
+    tr.info = {"splat_overflow": 140000.0, "splat_max_cell": 871.0,
+               "splat_active": 2109.0}
+    tr._check_splat_cap()
+    assert tr.stage_cfg.splat_cells == 2560
+    assert tr._step_fn == "compiled-sentinel"
+    # a real drop (active count saturates the list) grows geometrically:
+    # at least 25% over the current capacity, not a lane-multiple nudge
+    tr.info = {"splat_overflow": 1.0, "splat_max_cell": 100.0,
+               "splat_active": 2560.0}
+    tr._check_splat_cap()
+    assert tr.stage_cfg.splat_cells >= 2560 * 5 // 4
+    assert tr._step_fn is None
+
+
 def test_splat_cap_watermark_is_bounded():
     """Growth clamps at splat_cap_max — the measured-saturation policy
     (tools/bench_splat.py A/B; see StageStatic.splat_cap_max)."""
