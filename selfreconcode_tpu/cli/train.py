@@ -167,7 +167,10 @@ def main(argv=None):
                     f"mask_loss: {info.get('pc_mask_loss', -1):.5f}\t")
             if "pc_defconst_loss" in info:
                 out += f"defconst_loss: {info['pc_defconst_loss']:.5f}\t"
-            P = trainer.stage_cfg.sample_pix * bs
+            # same ray-count resolution as the step itself (the stage's loss
+            # block may override train.sample_pix_num, e.g. fine uses 6144)
+            wpix = trainer.stage_cfg.weights.sample_pix_num
+            P = (trainer.stage_cfg.sample_pix if wpix == 0 else wpix) * bs
             out += (f"\n\trayInfo({P},{int(info.get('ray_converged', 0))})\t"
                     f"invInfo({P},{int(info.get('inv_ok', 0))})\t"
                     f"remesh: {info['remesh']:.3f}\t{dt:.2f}s/it")
