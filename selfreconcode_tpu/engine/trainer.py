@@ -909,7 +909,19 @@ class Trainer:
     def remesh(self, ratio_sdf: float):
         self._check_splat_cap()
         mc, nv, nf = self._mc_device(ratio_sdf)
+        cfg = self._update_template_caps(nv, nf)
+        tmpl = self._template_jit(
+            cfg.vcap, cfg.fcap, cfg.ecap,
+            (mc.verts.shape[0], mc.faces.shape[0]))(
+                mc.verts, mc.faces, mc.nv, mc.nf)
+        self.state = self.state._replace(tmp=tmpl)
+        self.remesh_time = 1.0 + np.floor(self.remesh_time)
+        return nv, nf
+
+    def _update_template_caps(self, nv: int, nf: int) -> "StageStatic":
+        """Remesh-tick capacity policy (grow AND shrink, both rejit)."""
         cfg = self.stage_cfg
+        self._nv_recent = (getattr(self, "_nv_recent", []) + [(nv, nf)])[-3:]
         if nv > cfg.vcap or nf > cfg.fcap:
             # grow capacities (forces a re-jit of the step).  Grow with 25%
             # headroom, NOT exact-fit: the template inflates steadily during
@@ -925,13 +937,30 @@ class Trainer:
                 fcap=_round_up(nf_t, 4096),
                 ecap=_round_up(3 * nf_t // 2 + 4096, 4096))
             self._step_fn = None
-        tmpl = self._template_jit(
-            cfg.vcap, cfg.fcap, cfg.ecap,
-            (mc.verts.shape[0], mc.faces.shape[0]))(
-                mc.verts, mc.faces, mc.nv, mc.nf)
-        self.state = self.state._replace(tmp=tmpl)
-        self.remesh_time = 1.0 + np.floor(self.remesh_time)
-        return nv, nf
+        elif len(self._nv_recent) == 3:
+            # SHRINK when the template has settled far below capacity.  The
+            # vert-batched paths (deformer over the tiled template, splat
+            # binning+kernels) do padded work proportional to vcap, and a
+            # transient early-stage inflation sticks forever under a
+            # grow-only policy: the round-3 acceptance run finished fine
+            # with nv=72830 under vcap=217088 — 3x padded work for 94% of
+            # all steps.  Hysteresis: shrink only when the 25%-headroom
+            # target (over the MAX of the last 3 remeshes, so one noisy dip
+            # can't trigger) is <= half the current cap; after a shrink,
+            # growth re-triggers only past +60%, so no thrash.
+            nv_hi = max(v for v, _ in self._nv_recent)
+            nf_hi = max(f for _, f in self._nv_recent)
+            nv_t = _round_up(max(int(nv_hi * 1.25), 4096), 4096)
+            nf_t = _round_up(max(int(nf_hi * 1.25), 4096), 4096)
+            if nv_t <= cfg.vcap // 2 and nf_t <= cfg.fcap // 2:
+                print(f"shrinking template caps vcap {cfg.vcap} -> {nv_t}, "
+                      f"fcap {cfg.fcap} -> {nf_t} (settled at nv={nv_hi}, "
+                      f"nf={nf_hi})", flush=True)
+                self.stage_cfg = cfg = dataclass_replace(
+                    cfg, vcap=nv_t, fcap=nf_t,
+                    ecap=_round_up(3 * int(nf_hi * 1.25) // 2 + 4096, 4096))
+                self._step_fn = None
+        return cfg
 
     def _check_splat_cap(self):
         """Remesh-tick watermark: if any step since the last remesh dropped
@@ -1051,6 +1080,7 @@ class Trainer:
         )
         self._step_fn = None
         self.forward_time = 0
+        self._nv_recent = []  # per-stage shrink watermark history
 
     def override_stage(self, **kw):
         """Override static stage fields (tests/bench shrink sample counts and

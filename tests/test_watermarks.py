@@ -86,6 +86,44 @@ def test_splat_cap_watermark_is_bounded():
     assert tr.stage_cfg.splat_cap == 8192
 
 
+def test_template_caps_shrink_when_settled():
+    """Grow-only capacities let a transient early-stage inflation stick
+    forever: the round-3 acceptance run finished fine-stage training with
+    nv=72830 under vcap=217088 (3x padded vert-batched work for 94% of all
+    steps).  The remesh policy must shrink back — with hysteresis so one
+    noisy dip can't oscillate."""
+    tr = _bare_trainer_with_stage()
+    tr.override_stage(vcap=217088, fcap=434176, ecap=651264)
+    tr._step_fn = "compiled-sentinel"
+    # one or two low remeshes: NOT enough history -> no shrink
+    tr._update_template_caps(72830, 142632)
+    tr._update_template_caps(72830, 142632)
+    assert tr.stage_cfg.vcap == 217088
+    assert tr._step_fn == "compiled-sentinel"
+    # third consecutive low remesh -> shrink to 1.25x headroom, rejit
+    cfg = tr._update_template_caps(72830, 142632)
+    assert cfg.vcap == 94208 and cfg.vcap % 4096 == 0   # ceil(72830*1.25)
+    assert cfg.fcap <= 434176 // 2
+    assert tr._step_fn is None
+    # growth from the shrunken cap still works and re-applies headroom
+    tr._step_fn = "compiled-sentinel"
+    cfg = tr._update_template_caps(cfg.vcap + 1, 142632)
+    assert cfg.vcap >= int((94208 + 1) * 1.25) // 4096 * 4096
+    assert tr._step_fn is None
+
+
+def test_template_caps_no_shrink_on_noisy_dip():
+    """A single low remesh among high ones keeps the caps (max-of-last-3)."""
+    tr = _bare_trainer_with_stage()
+    tr.override_stage(vcap=217088, fcap=434176, ecap=651264)
+    tr._step_fn = "compiled-sentinel"
+    tr._update_template_caps(170000, 340000)
+    tr._update_template_caps(60000, 120000)    # noisy dip
+    tr._update_template_caps(170000, 340000)
+    assert tr.stage_cfg.vcap == 217088
+    assert tr._step_fn == "compiled-sentinel"
+
+
 @pytest.mark.slow
 def test_bbox_grow_and_retry_repairs_boundary(tmp_path):
     """A sweep bbox the isosurface crosses must be grown until every

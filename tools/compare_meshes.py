@@ -20,9 +20,36 @@ def load_mesh(path):
         z = np.load(path)
         return (np.asarray(z["verts"], np.float64),
                 np.asarray(z["faces"], np.int64))
-    import trimesh
-    m = trimesh.load(path, process=False)
-    return np.asarray(m.vertices, np.float64), np.asarray(m.faces, np.int64)
+    try:
+        import trimesh
+        m = trimesh.load(path, process=False)
+        return (np.asarray(m.vertices, np.float64),
+                np.asarray(m.faces, np.int64))
+    except ImportError:
+        return load_ascii_ply(path)
+
+
+def load_ascii_ply(path):
+    """Self-contained reader for the ascii PLY this framework writes
+    (infer.py tmp.ply / meshs; x y z verts + triangle faces) — trimesh is
+    not available in every deployment container."""
+    with open(path) as f:
+        assert f.readline().strip() == "ply"
+        nv = nf = 0
+        for line in f:
+            t = line.strip().split()
+            if t[:2] == ["element", "vertex"]:
+                nv = int(t[2])
+            elif t[:2] == ["element", "face"]:
+                nf = int(t[2])
+            elif t[0] == "format":
+                assert t[1] == "ascii", f"binary ply needs trimesh: {path}"
+            elif t[0] == "end_header":
+                break
+        verts = np.loadtxt(f, max_rows=nv, dtype=np.float64).reshape(nv, -1)
+        faces = np.loadtxt(f, max_rows=nf, dtype=np.int64).reshape(nf, -1)
+    assert (faces[:, 0] == 3).all(), "non-triangle ply face"
+    return verts[:, :3], faces[:, 1:4]
 
 
 def sample_surface(verts, faces, n, seed=0):
