@@ -125,11 +125,22 @@ def main(argv=None):
         if fid % 20 == 0:
             print(f"frame {fid}/{n_frames} maskE={mask_errors[fid]:.4f}",
                   flush=True)
+            # flush partial stats: full-subject inference is minutes-long, so
+            # an interrupted run must still leave valid errors.txt stats over
+            # the frames it completed (same format as the final write)
+            _write_errors(rec_root, mask_errors)
 
     for wv in writers.values():
         wv.release()
 
-    # errors.txt parity (infer.py:172-181)
+    mean_e = _write_errors(rec_root, mask_errors)
+    print("errors.txt written; mean maskE =", mean_e)
+
+
+def _write_errors(rec_root: str, mask_errors: np.ndarray) -> float:
+    """errors.txt parity (reference infer.py:172-181): header with
+    mean/max/min over evaluated frames + one `i: err` line per frame
+    (unevaluated frames carry the -1 sentinel)."""
     sel = mask_errors >= 0.0
     with open(osp.join(rec_root, "errors.txt"), "w") as ff:
         ff.write("maskE, mean: %f, max: %f, min: %f\n" % (
@@ -138,7 +149,7 @@ def main(argv=None):
         ff.write("maskE:\n")
         ff.write("\n".join("%d: %f" % (i, e)
                            for i, e in enumerate(mask_errors)))
-    print("errors.txt written; mean maskE =", float(mask_errors[sel].mean()))
+    return float(mask_errors[sel].mean())
 
 
 def _write_ply(path, verts, faces):
