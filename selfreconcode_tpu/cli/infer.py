@@ -69,7 +69,7 @@ def main(argv=None):
     print(f"template: {nv} verts, {nf} faces -> tmp.ply")
 
     # pad template into the trainer state for the jitted infer fn
-    trainer.remesh(1.0)
+    nv_t, _ = trainer.remesh(1.0)
 
     H, W = dataset.H, dataset.W
     for sub in ("colors", "meshs", "def1meshs"):
@@ -104,8 +104,11 @@ def main(argv=None):
         hit = np.asarray(out["hit"])
         if args.C:
             mesh_img = np.where(hit[..., None], mesh_img, fd["img"])
+        # slice off the capacity padding: the reference writes the true
+        # deformed vertices only (infer.py:146-152); rows past nv are
+        # zero-padded lanes downstream consumers must never see
         np.save(osp.join(rec_root, "meshs/%d.npy" % fid),
-                np.asarray(out["def_verts"]))
+                np.asarray(out["def_verts"])[:nv_t])
         if not args.nI:
             cv2.imwrite(osp.join(rec_root, "meshs/%d.png" % fid), mesh_img)
             cv2.imwrite(osp.join(rec_root, "def1meshs/%d.png" % fid), def1_img)

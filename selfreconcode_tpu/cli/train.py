@@ -27,7 +27,12 @@ RESOLUTIONS = {
 }
 
 
-def main(argv=None):
+def main(argv=None, resolutions=None, skinner_res=None, tune=None):
+    """CLI entry.  The keyword-only extras are test/debug injection points:
+    `resolutions` replaces the production octree schedule, `skinner_res`
+    shrinks the LBS weight volume, and `tune(trainer)` runs right before the
+    epoch loop (tests lower capacities there so the CPU-mesh end-to-end run
+    compiles in seconds)."""
     parser = argparse.ArgumentParser(description="SelfRecon-TPU per-subject "
                                                  "avatar optimization")
     parser.add_argument("--gpu-ids", nargs="+", type=int, default=None,
@@ -47,6 +52,11 @@ def main(argv=None):
                              "(models/synthetic_body.py; acceptance runs)")
     parser.add_argument("--max-epochs", type=int, default=None,
                         help="cap epochs (debug)")
+    parser.add_argument("--mesh", default=None, metavar="dp=N",
+                        help="train data-parallel over a 1-D device mesh "
+                             "(e.g. --mesh dp=8): image rows sharded over "
+                             "the dp axis, params replicated, gradient "
+                             "all-reduce over ICI (SURVEY §2.4)")
     args = parser.parse_args(argv)
 
     import jax
@@ -78,9 +88,27 @@ def main(argv=None):
         from ..models.smpl import get_smpl
         smpl = get_smpl(dataset.gender)
 
-    trainer = Trainer(dataset, smpl, conf, RESOLUTIONS, save_root=save_root,
-                      data_root=data_root)
+    res_sched = resolutions or RESOLUTIONS
+    kw = {"skinner_res": skinner_res} if skinner_res else {}
+    trainer = Trainer(dataset, smpl, conf, res_sched, save_root=save_root,
+                      data_root=data_root, **kw)
     print("box:", trainer.b_min.tolist(), trainer.b_max.tolist())
+
+    if args.mesh:
+        from jax.sharding import Mesh
+        spec = args.mesh.replace("dp=", "")
+        n_dev = int(spec)
+        devs = jax.devices()
+        assert len(devs) >= n_dev, (
+            f"--mesh dp={n_dev} needs {n_dev} devices, found {len(devs)} "
+            f"({devs[0].platform}); for a virtual CPU mesh set "
+            f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={n_dev}")
+        assert dataset.H % n_dev == 0, (
+            f"image height {dataset.H} must divide by dp={n_dev} "
+            f"(rows are sharded over the mesh)")
+        trainer.set_mesh(Mesh(np.asarray(devs[:n_dev]), ("dp",)))
+        print(f"device mesh: dp={n_dev} over {devs[0].platform}", flush=True)
 
     start_epoch = 0
     initial_iters = conf.get_int("train.initial_iters")
@@ -111,7 +139,7 @@ def main(argv=None):
             # export the initial iso-surface for inspection (train.py:129-132)
             from ..engine.trainer import _export_mesh
             verts, faces, nv, nf = trainer.discretize_sdf(
-                0.0, resolutions=RESOLUTIONS["coarse"])
+                0.0, resolutions=res_sched["coarse"])
             _export_mesh(osp.join(
                 data_root,
                 f"initial_sdf_idr_{multires}_{pose_type}.ply"), verts, faces)
@@ -119,6 +147,8 @@ def main(argv=None):
 
     if trainer.stage_cfg is None:
         trainer.set_stage("coarse")
+    if tune is not None:
+        tune(trainer)
 
     # TPU-first data path: park the whole (uint8) dataset in device memory
     # once; every step then gathers its batch on device with zero

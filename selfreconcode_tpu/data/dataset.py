@@ -199,12 +199,16 @@ class SceneDataset:
 
     # -- temporal windows ---------------------------------------------------
     def window_indices(self, fids: np.ndarray, batchsize: int):
-        """(starts (B,), offsets (B,)): window [start, start+batchsize) around
-        each fid, clamped to its video segment.  window rows are
-        starts[:,None] + arange(batchsize); offsets = fid - start.
-        Parity: dataset/dataset.py:128-191."""
+        """(windows (B,batchsize) int, offsets (B,)): frame-index window of
+        length batchsize around each fid, clamped to its video segment;
+        offsets = position of fid inside its row.  Parity:
+        dataset/dataset.py:128-191 — except that a segment SHORTER than the
+        window (the reference asserts, dataset/dataset.py:151,173) repeats
+        its last frame instead of crashing, so the DCT prior sees a constant
+        tail."""
         fids = np.asarray(fids, np.int64)
         segments = [0] + list(self.video_segmented_index) + [self.frame_num]
+        windows = np.zeros((len(fids), batchsize), np.int64)
         starts = np.zeros_like(fids)
         for b, fid in enumerate(fids):
             lo, hi = 0, self.frame_num
@@ -212,7 +216,6 @@ class SceneDataset:
                 if segments[si] <= fid < segments[si + 1]:
                     lo, hi = segments[si], segments[si + 1]
                     break
-            assert batchsize < hi - lo, (batchsize, lo, hi)
             s = fid - batchsize // 2
             e = s + batchsize
             if s < lo:
@@ -221,8 +224,10 @@ class SceneDataset:
             if e > hi:
                 s -= e - hi
                 e = hi
+            s = max(s, lo)  # only binds when hi-lo < batchsize (short segment)
             starts[b] = s
-        return starts, fids - starts
+            windows[b] = np.clip(s + np.arange(batchsize), lo, hi - 1)
+        return windows, fids - starts
 
 
 class ClipSampler:

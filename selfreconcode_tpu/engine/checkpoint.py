@@ -40,6 +40,12 @@ def save_checkpoint(path: str, trainer, epoch: int):
                   trainer.stage_cfg.ecap, trainer.stage_cfg.splat_cap,
                   trainer.stage_cfg.splat_cells)
                  if trainer.stage_cfg else None),
+        # sweep-bbox growth + per-resolution MC caps are watermark state the
+        # run discovered at remesh time; without them a resumed run re-pays
+        # the grow-and-retry remeshes and their rejits through the tunnel
+        "bbox": (np.asarray(trainer.b_min).tolist(),
+                 np.asarray(trainer.b_max).tolist()),
+        "mc_caps": dict(trainer._mc_caps),
         "params": _to_numpy(state.params),
         "bank": _to_numpy(state.bank),
         "opt_state": _to_numpy(state.opt_state),
@@ -59,9 +65,23 @@ def load_checkpoint(path: str, trainer, sdf_params: Optional[Any] = None,
     from .trainer import TrainState, TemplateState
     from .torch_compat import is_torch_checkpoint, restore_from_reference
     if is_torch_checkpoint(path):
-        return restore_from_reference(path, trainer, sdf_params=sdf_params)
+        try:
+            return restore_from_reference(path, trainer,
+                                          sdf_params=sdf_params)
+        except Exception as e:  # the cheap head-bytes probe can misfire on a
+            # protocol-2 plain pickle (e.g. older tooling); fall through and
+            # try our own format before giving up
+            print(f"torch-checkpoint routing failed ({e!r}); "
+                  f"retrying as a native pickle checkpoint", flush=True)
     with open(path, "rb") as f:
         payload = pickle.load(f)
+    if payload.get("bbox"):
+        trainer.b_min = np.asarray(payload["bbox"][0], np.float32)
+        trainer.b_max = np.asarray(payload["bbox"][1], np.float32)
+    for k, v in (payload.get("mc_caps") or {}).items():
+        cur = trainer._mc_caps.get(k)
+        trainer._mc_caps[k] = (tuple(v) if cur is None else
+                               tuple(max(a, b) for a, b in zip(cur, v)))
     params = _to_jnp(payload["params"])
     if sdf_params is not None:  # --sdf-model substitution (train.py:102-106)
         params = {**params, "sdf": sdf_params}

@@ -141,10 +141,18 @@ def restore_from_reference(path: str, trainer,
         bank["poses"] = ds["poses"].reshape(-1, 24, 3)[:F]
     if "trans" in ds:
         bank["trans"] = ds["trans"].reshape(-1, 3)[:F]
+    # conds are (F0, d) with F0 = the checkpoint's frame count; like
+    # poses/trans above, keep the per-frame layout and slice to this
+    # dataset's frames (reshape(F, -1) would silently re-stride a longer
+    # bank into corrupt conditioning whenever F0 != F)
     if "dcond" in ds and "cond_deformer" in bank:
-        bank["cond_deformer"] = ds["dcond"].reshape(F, -1)
+        dcond = ds["dcond"].reshape(ds["dcond"].shape[0], -1)
+        assert dcond.shape[0] >= F, "checkpoint has fewer frames"
+        bank["cond_deformer"] = dcond[:F]
     if "rcond" in ds and "cond_renderer" in bank:
-        bank["cond_renderer"] = ds["rcond"].reshape(F, -1)
+        rcond = ds["rcond"].reshape(ds["rcond"].shape[0], -1)
+        assert rcond.shape[0] >= F, "checkpoint has fewer frames"
+        bank["cond_renderer"] = rcond[:F]
     for k, v in ds["camera"].items():
         bank["camera"][k] = v.reshape(bank["camera"][k].shape)
     if "shape" in ds:

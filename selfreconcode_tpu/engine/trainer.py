@@ -699,6 +699,9 @@ class Trainer:
         self.dctnull = dct_null_space(min(10, max(1, nw // 3)), nw)
         self._frame_cache = None   # optional device-resident frame store
         self._take_fn = None
+        self.mesh = None           # optional jax.sharding.Mesh (dp axis)
+        self._shard_img = None     # NamedSharding P(None,"dp") over H
+        self._shard_repl = None
 
         cam = self._host_camera()
         self.ang_thresh = ang_threshold(cam, 0.5)
@@ -837,20 +840,38 @@ class Trainer:
                 self._mc_caps[res[-1]] = key_caps
                 continue
             n_boundary = int(mc.n_boundary)
-            if n_boundary > 0 and nv > 0 and bbox_tries < 3:
-                # margin-invariant violation: boundary-edge crossings have no
-                # owning cube, so their MC vertices would stay at the world
-                # origin (corrupt template).  Watermark-repair like the
-                # na/nv/nf caps: grow the sweep bbox 8% per side and re-run.
-                # Only the SWEEP bbox grows — the skinner's weight-volume
-                # bbox (normalized-coordinate domain) is untouched.
+            sides = np.asarray(mc.boundary_sides)
+            # lifetime per-side growth budget: an IGR far-field that is
+            # negative far from the body (unconstrained) would otherwise
+            # re-trigger growth at EVERY remesh (bbox_tries resets per call)
+            # and inflate the bbox/voxel size without bound over a run
+            budget = getattr(self, "_bbox_side_budget", None)
+            if budget is None:
+                budget = self._bbox_side_budget = np.full(6, 3, np.int32)
+            sides = np.where(budget > 0, sides, 0)
+            if sides.any() and nv > 0 and bbox_tries < 3:
+                # margin-invariant violation: the surface is clipped by a
+                # bbox face (inside samples on the plane; on +sides this
+                # also leaves ownerless boundary-edge crossings whose MC
+                # vertices stay at the world origin — corrupt template).
+                # Watermark-repair like the na/nv/nf caps, but DIRECTIONAL:
+                # grow only the violated sides by 8% of the extent — an
+                # all-sides grow inflates the voxel size (fixed res over a
+                # larger bbox) and with it the raster footprint, which cost
+                # ~10% step throughput in the r3 bench.  Only the SWEEP bbox
+                # grows — the skinner's weight-volume bbox (normalized-
+                # coordinate domain) is untouched.
                 ext = self.b_max - self.b_min
-                self.b_min = self.b_min - 0.08 * ext
-                self.b_max = self.b_max + 0.08 * ext
+                lo_hit = sides[[0, 2, 4]] > 0
+                hi_hit = sides[[1, 3, 5]] > 0
+                self.b_min = self.b_min - np.where(lo_hit, 0.08 * ext, 0.0)
+                self.b_max = self.b_max + np.where(hi_hit, 0.08 * ext, 0.0)
+                budget -= (sides > 0).astype(np.int32)
                 bbox_tries += 1
-                print(f"growing sweep bbox 8% per side (attempt "
-                      f"{bbox_tries}): surface touched the boundary "
-                      f"({n_boundary} ownerless crossings)", flush=True)
+                print(f"growing sweep bbox 8% on clipped sides "
+                      f"(attempt {bbox_tries}): plane inside-counts "
+                      f"(x-,x+,y-,y+,z-,z+)={sides.tolist()}, "
+                      f"{n_boundary} ownerless crossings", flush=True)
                 # bigger bbox -> bigger voxels -> MC triangles may exceed the
                 # stage's raster footprint (the binning's 2x2-cell guarantee);
                 # recompute it from the new spacing
@@ -863,11 +884,11 @@ class Trainer:
                 continue
             break
         assert nv > 0, "tmp sdf vanished..."  # network.py:466-468
-        if n_boundary > 0 and not self._warned_boundary:
+        if (n_boundary > 0 or sides.any()) and not self._warned_boundary:
             # still touching after 3 growths — visible instead of silent
-            print(f"WARNING: surface touches the sweep bbox ({n_boundary} "
-                  f"ownerless boundary-edge crossings) after bbox growth",
-                  flush=True)
+            print(f"WARNING: surface touches the sweep bbox after growth "
+                  f"({n_boundary} ownerless crossings, plane inside-counts "
+                  f"{sides.tolist()})", flush=True)
             self._warned_boundary = True
         self.mc_boundary_crossings = n_boundary
         return mc, nv, nf
@@ -908,12 +929,18 @@ class Trainer:
 
     def remesh(self, ratio_sdf: float):
         self._check_splat_cap()
+        self._check_splat_cells_shrink()
         mc, nv, nf = self._mc_device(ratio_sdf)
         cfg = self._update_template_caps(nv, nf)
         tmpl = self._template_jit(
             cfg.vcap, cfg.fcap, cfg.ecap,
             (mc.verts.shape[0], mc.faces.shape[0]))(
                 mc.verts, mc.faces, mc.nv, mc.nf)
+        if self._shard_repl is not None:
+            # keep the template replicated over the mesh — the discretize
+            # program runs unsharded, and a device-0-committed template would
+            # force a reshard (or a recompile) of the step every remesh
+            tmpl = jax.device_put(tmpl, self._shard_repl)
         self.state = self.state._replace(tmp=tmpl)
         self.remesh_time = 1.0 + np.floor(self.remesh_time)
         return nv, nf
@@ -1002,6 +1029,32 @@ class Trainer:
                                                splat_cells=new_cells)
             self._step_fn = None
 
+    def _check_splat_cells_shrink(self):
+        """SHRINK the active-cell capacity when the measured active count has
+        settled far below it — the splat kernels' work, DMA and (especially)
+        backward gathers scale with the CAPACITY, not the true count, and the
+        4096 default cost ~12% whole-step throughput at 512² where the
+        silhouette only touches ~1k cells (the r2->r3 bench regression,
+        bisected to the compaction commit).  Same hysteresis scheme as
+        _update_template_caps: 25% headroom over the max of the last 3
+        remesh ticks, shrink only when that target is <= half the capacity.
+        """
+        info = self.info
+        if not info or "splat_active" not in info:
+            return
+        self._act_recent = (getattr(self, "_act_recent", [])
+                            + [int(info["splat_active"])])[-3:]
+        cfg = self.stage_cfg
+        if len(self._act_recent) < 3:
+            return
+        tgt = max(64, -(-int(max(self._act_recent) * 1.25) // 64) * 64)
+        if tgt <= cfg.splat_cells // 2:
+            print(f"shrinking splat active_cells {cfg.splat_cells} -> {tgt} "
+                  f"(settled at {max(self._act_recent)})", flush=True)
+            self.stage_cfg = dataclass_replace(cfg, splat_cells=tgt)
+            self._step_fn = None
+            self._act_recent = []
+
     def _stage_footprint(self, res) -> int:
         """Static raster footprint from the MC voxel size: triangles from MC
         never exceed one voxel, so the projected bbox is bounded by
@@ -1058,11 +1111,11 @@ class Trainer:
             # skips the cap-64 compile + watermark-growth rejit (~10 min
             # through the remote-compile tunnel at production scale)
             splat_cap=prev.splat_cap if prev
-            else int(os.environ.get("SRTPU_SPLAT_CAP0", 64)),
+            else _env_lanes("SRTPU_SPLAT_CAP0", 64),
             splat_cells=prev.splat_cells if prev
-            else int(os.environ.get("SRTPU_SPLAT_CELLS0", 4096)),
+            else _env_lanes("SRTPU_SPLAT_CELLS0", 4096),
             splat_cap_max=prev.splat_cap_max if prev
-            else int(os.environ.get("SRTPU_SPLAT_CAP_MAX", 256)),
+            else _env_lanes("SRTPU_SPLAT_CAP_MAX", 256),
             mc_active_cap=65536,
             resolutions=res,
             sweep_caps=tuple(default_caps(res)),
@@ -1081,6 +1134,31 @@ class Trainer:
         self._step_fn = None
         self.forward_time = 0
         self._nv_recent = []  # per-stage shrink watermark history
+
+    def set_mesh(self, mesh):
+        """Train data-parallel over a 1-D device mesh ("dp").
+
+        The production layout validated by parallel/dryrun.trainer_step_on_mesh:
+        image tensors sharded over their H axis with P(None, "dp") —
+        rasterization, splatting, and the per-pixel losses are row-local so
+        GSPMD splits them cleanly and inserts the gradient all-reduces —
+        while params/bank/template stay replicated (MLPs are 512-wide,
+        SURVEY §2.4: tensor parallelism is pointless at this scale).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.mesh = mesh
+        self._shard_img = NamedSharding(mesh, P(None, "dp"))
+        self._shard_repl = NamedSharding(mesh, P())
+        self.state = jax.device_put(self.state, self._shard_repl)
+        if self._frame_cache is not None:
+            self._frame_cache = {
+                k: jax.device_put(v, NamedSharding(mesh, P(None, "dp")))
+                for k, v in self._frame_cache.items()}
+
+    def _put_img(self, x):
+        x = jnp.asarray(x)
+        return (x if self._shard_img is None
+                else jax.device_put(x, self._shard_img))
 
     def override_stage(self, **kw):
         """Override static stage fields (tests/bench shrink sample counts and
@@ -1214,20 +1292,21 @@ class Trainer:
         # traced (not static) so the deformer-ratio annealing never re-jits
         ratios = jnp.asarray([1.0, self.opt_times / 2500.0 + 0.5, 1.0],
                              jnp.float32)
-        starts, _ = self.dataset.window_indices(fids, cfg.window)
-        windows = starts[:, None] + np.arange(cfg.window)[None, :]
+        windows, _ = self.dataset.window_indices(fids, cfg.window)
         if self._frame_cache is not None:
             batch = self._batch_from_cache(fids)  # device gather, no H2D
         if "normal" in batch:
-            gtNs = jnp.asarray(batch["normal"])
+            gtNs = self._put_img(batch["normal"])
         else:
             # device-resident zero normals, uploaded once (not 42 MB/step)
             if getattr(self, "_gtNs_zero", None) is None or \
                     self._gtNs_zero.shape != (cfg.N, cfg.H, cfg.W, 3):
-                self._gtNs_zero = jnp.zeros((cfg.N, cfg.H, cfg.W, 3))
+                self._gtNs_zero = self._put_img(
+                    jnp.zeros((cfg.N, cfg.H, cfg.W, 3)))
             gtNs = self._gtNs_zero
         self.state, info = step(
-            self.state, jnp.asarray(batch["img"]), jnp.asarray(batch["mask"]),
+            self.state, self._put_img(batch["img"]),
+            self._put_img(batch["mask"]),
             gtNs, jnp.asarray(fids, jnp.int32), jnp.asarray(windows, jnp.int32),
             ratios, jnp.asarray(lr, jnp.float32), key)
         self.remesh_time = (np.floor(self.remesh_time)
@@ -1257,6 +1336,18 @@ def _export_mesh(path, verts, faces):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _env_lanes(name: str, default: int) -> int:
+    """Integer env override rounded up to the splat kernels' 64-lane
+    multiple — a raw value like 1000 would otherwise fail the kernel's
+    cap % 64 assert at jit time, deep inside the first compile."""
+    raw = int(os.environ.get(name, default))
+    val = max(64, _round_up(raw, 64))
+    if val != raw:
+        print(f"{name}={raw} rounded up to the 64-lane multiple {val}",
+              flush=True)
+    return val
 
 
 # ---------------------------------------------------------------------------
@@ -1312,8 +1403,7 @@ def build_synthetic_bench_step(sample_rays: int = 6144, H: int = 512,
     cfg = tr.stage_cfg
     fids = np.arange(cfg.N)
     batch = ds.batch(fids)
-    starts, _ = ds.window_indices(fids, cfg.window)
-    windows = starts[:, None] + np.arange(cfg.window)[None, :]
+    windows, _ = ds.window_indices(fids, cfg.window)
     args = (tr.state, jnp.asarray(batch["img"]), jnp.asarray(batch["mask"]),
             jnp.zeros((cfg.N, cfg.H, cfg.W, 3)), jnp.asarray(fids, jnp.int32),
             jnp.asarray(windows, jnp.int32),
@@ -1358,8 +1448,7 @@ def bench_throughput(sample_rays: int = 6144, H: int = 512, W: int = 512,
     for i in range(n_batches):
         fids = (np.arange(cfg.N) + i * cfg.N) % ds.frame_num
         batch = ds.batch(fids)
-        starts, _ = ds.window_indices(fids, cfg.window)
-        windows = starts[:, None] + np.arange(cfg.window)[None, :]
+        windows, _ = ds.window_indices(fids, cfg.window)
         batches.append((jnp.asarray(batch["img"]),
                         jnp.asarray(batch["mask"]),
                         jnp.zeros((cfg.N, cfg.H, cfg.W, 3)),
@@ -1372,6 +1461,24 @@ def bench_throughput(sample_rays: int = 6144, H: int = 512, W: int = 512,
 
     state = tr.state
     gtCs, gtMs, gtNs, fids, windows, key = batches[0]
+    state, info = step(state, gtCs, gtMs, gtNs, fids, windows, ratios, lr,
+                       key)
+    fetch(info["loss"])
+
+    # Settle the capacity watermarks to the fixed point a real run's remesh
+    # ticks converge to: the probe step above measured the true splat
+    # occupancy + active-cell coverage, so apply the grow/shrink policies
+    # directly and re-specialize once.  (Training THROUGH several remesh
+    # ticks here instead collapses the fresh synthetic SDF — the fine stage
+    # on an untrained scene has no business remeshing every step; the
+    # coarse->medium schedule exists for a reason.)
+    tr.info = {k: int(v) if "splat" in k else v for k, v in info.items()}
+    tr._check_splat_cap()
+    tr._act_recent = [int(info["splat_active"])] * 3
+    tr._check_splat_cells_shrink()
+    step = tr._get_step_fn()
+    cfg = tr.stage_cfg
+    gtCs, gtMs, gtNs, fids, windows, key = batches[1]
     state, info = step(state, gtCs, gtMs, gtNs, fids, windows, ratios, lr,
                        key)
     fetch(info["loss"])

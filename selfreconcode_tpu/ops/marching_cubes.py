@@ -38,11 +38,17 @@ class MCResult(NamedTuple):
     nf: jnp.ndarray      # () int32 true face count (may exceed fcap!)
     na: jnp.ndarray      # () int32 true active-cube count (may exceed active_cap!)
     n_boundary: jnp.ndarray  # () int32 crossings on ownerless +boundary edges
+    boundary_sides: jnp.ndarray  # (6,) int32 inside samples per bbox face
     #   na > active_cap means dropped cubes whose owned-edge vertex positions
     #   were never written (silent corruption) — callers MUST grow+rejit, nv/nf
     #   alone can both fit while na overflows.  n_boundary > 0 means the
     #   surface touched the sweep bbox (margin invariant violated): those
-    #   vertices stay at the world origin.
+    #   vertices stay at the world origin.  boundary_sides counts inside
+    #   (vol<iso) grid samples on each boundary plane in the order
+    #   (x-,x+,y-,y+,z-,z+): a nonzero side means the surface is CLIPPED by
+    #   that bbox face (the min-side case produces no ownerless crossings at
+    #   all — just a silently open mesh — so this is the growth signal,
+    #   n_boundary only the corruption guard).
 
 
 # Static numpy helpers ------------------------------------------------------
@@ -110,6 +116,11 @@ def marching_cubes(volume: jnp.ndarray, origin, spacing, iso: float,
         + cross[1][-1, :, :].sum() + cross[1][:-1, :, -1].sum()
         + cross[2][-1, :, :].sum() + cross[2][:-1, -1, :].sum()
     ).astype(jnp.int32)
+    boundary_sides = jnp.stack([
+        inside[0, :, :].sum(), inside[-1, :, :].sum(),
+        inside[:, 0, :].sum(), inside[:, -1, :].sum(),
+        inside[:, :, 0].sum(), inside[:, :, -1].sum(),
+    ]).astype(jnp.int32)
     # vertex POSITIONS are scattered later from the compacted active cubes
     # (3 owned edges per cube = ~1M update rows instead of the 27.8M-row
     # dense scatter, which measured 2.0 s on v5e at 225x321x129)
@@ -210,4 +221,5 @@ def marching_cubes(volume: jnp.ndarray, origin, spacing, iso: float,
         tvids.reshape(-1, 3), mode="drop")
 
     return MCResult(verts=verts_out, faces=faces_out, nv=nv, nf=nf,
-                    na=na, n_boundary=n_boundary)
+                    na=na, n_boundary=n_boundary,
+                    boundary_sides=boundary_sides)

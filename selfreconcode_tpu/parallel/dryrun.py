@@ -53,8 +53,7 @@ def trainer_step_on_mesh(mesh: Mesh, n_frames: int = 8,
     cfg = tr.stage_cfg
     fids = np.arange(cfg.N)
     batch = ds.batch(fids)
-    starts, _ = ds.window_indices(fids, cfg.window)
-    windows = starts[:, None] + np.arange(cfg.window)[None, :]
+    windows, _ = ds.window_indices(fids, cfg.window)
 
     img_sharding = NamedSharding(mesh, P(None, "dp"))   # shard H axis
     repl = NamedSharding(mesh, P())

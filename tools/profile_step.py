@@ -100,9 +100,7 @@ def main():
     cfg = tr.stage_cfg
     fids = np.arange(cfg.N)
     batch = ds.batch_raw(fids)
-    starts, _ = ds.window_indices(fids, cfg.window)
-    windows = jnp.asarray(starts[:, None] + np.arange(cfg.window)[None, :],
-                          jnp.int32)
+    windows = jnp.asarray(ds.window_indices(fids, cfg.window)[0], jnp.int32)
     gtCs = jnp.asarray(batch["img"])
     gtMs = jnp.asarray(batch["mask"])
     gtNs = jnp.zeros((cfg.N, cfg.H, cfg.W, 3))
