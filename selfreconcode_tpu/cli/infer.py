@@ -96,12 +96,13 @@ def main(argv=None):
         gt_mask = jnp.asarray(fd["mask"].astype(np.float32))
         out = infer_frame(state.params, state.bank, state.tmp,
                           jnp.asarray(fid, jnp.int32), gt_mask)
+        # one batched device->host transfer for every per-frame output
+        # (serial np.asarray calls pay a tunnel round-trip EACH)
+        out = jax.device_get(out)
         mask_errors[fid] = float(out["mask_err"])
-        mesh_img = np.asarray(jnp.clip(out["mesh_img"] * 255, 0, 255)
-                              ).astype(np.uint8)
-        def1_img = np.asarray(jnp.clip(out["def1_img"] * 255, 0, 255)
-                              ).astype(np.uint8)
-        hit = np.asarray(out["hit"])
+        mesh_img = np.clip(out["mesh_img"] * 255, 0, 255).astype(np.uint8)
+        def1_img = np.clip(out["def1_img"] * 255, 0, 255).astype(np.uint8)
+        hit = out["hit"]
         if args.C:
             mesh_img = np.where(hit[..., None], mesh_img, fd["img"])
         # slice off the capacity padding: the reference writes the true
@@ -117,8 +118,7 @@ def main(argv=None):
             writers["def1meshs"].write(def1_img)
         if not args.nColor and "color_img" in out:
             # render-net colors are BGR like the training images (cv2 load)
-            color = np.asarray(jnp.clip(out["color_img"] * 255, 0, 255)
-                               ).astype(np.uint8)
+            color = np.clip(out["color_img"] * 255, 0, 255).astype(np.uint8)
             if args.C:
                 color = np.where(hit[..., None], color, fd["img"])
             if not args.nI:

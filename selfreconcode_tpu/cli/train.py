@@ -186,7 +186,11 @@ def main(argv=None, resolutions=None, skinner_res=None, tune=None):
         bs = trainer.stage_cfg.N
         t_epoch = time.time()
         def report(di, info, dt):
-            info = {k: float(v) for k, v in info.items()}
+            # ONE batched transfer for the whole info dict: device_get issues
+            # async host copies for every leaf then syncs once (~40 ms on the
+            # tunnel), where per-key float() serializes ~15 round-trips
+            # (~550 ms — measured; it dominated the fine-stage step wall)
+            info = {k: float(v) for k, v in jax.device_get(info).items()}
             out = (f"({epoch}/{di}): loss = {info['loss']:.5f}; "
                    f"color_loss: {info.get('color_loss', -1):.5f}, "
                    f"eikonal_loss: {info.get('grad_loss', -1):.5f}")

@@ -52,7 +52,7 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False,
     # iters at inference (model/network.py:342-363); w1/w2 stay at the
     # SurfaceConfig defaults shared with training.
     cfg = SurfaceConfig(n_iters=30, dthreshold=1e-4,
-                        athreshold_deg=trainer.ang_thresh)
+                        athreshold_deg=trainer.ang_thresh, early_exit=True)
 
     def _camera(bank):
         return Camera(
@@ -155,6 +155,11 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False,
         valid = np.asarray(out.pop("valid"))
         img = np.ones((H * W, 3), np.float32)
         (hit_idx,) = np.nonzero(valid)
+        # dispatch every chunk back-to-back BEFORE fetching any result: the
+        # device queue stays full and the host<->device round-trip (which on
+        # the remote tunnel is the expensive part) is paid once per frame,
+        # not once per chunk
+        pending = []
         for lo in range(0, hit_idx.size, chunk):
             sel = hit_idx[lo:lo + chunk]
             n = sel.size
@@ -164,10 +169,13 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False,
                                         init_pts, rays,
                                         jnp.asarray(sel, jnp.int32),
                                         trainer.deformer)
+            pending.append((sel, n, colors, done))
+        for sel, n, colors, done in pending:
             colors = np.asarray(colors)[:n]
             done = np.asarray(done)[:n]
             img[sel[:n][done]] = colors[done]
-        out["color_img"] = jnp.asarray(img.reshape(H, W, 3))
+        # host array already — callers device_get the dict, numpy passes through
+        out["color_img"] = img.reshape(H, W, 3)
         return out
 
     return infer_frame

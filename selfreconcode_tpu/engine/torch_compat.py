@@ -37,13 +37,16 @@ def is_torch_checkpoint(path: str) -> bool:
                 return any(n.endswith("data.pkl") for n in z.namelist())
         except Exception:
             return False
-    # legacy (non-zip) torch files start with a pickled magic number protobuf;
-    # our own checkpoints are plain pickles of a dict, so probing the first
-    # bytes is enough to disambiguate cheaply
+    # legacy (non-zip) torch files begin with pickle.dump(MAGIC_NUMBER,
+    # protocol=2) where MAGIC_NUMBER = 0x1950a86a20f9469cfc6c — i.e. the
+    # exact 14-byte prefix below.  Matching the full magic (not just the
+    # protocol-2 opcode b"\x80\x02") keeps protocol-2 pickles of OUR OWN
+    # checkpoint dicts out of the torch loading path.
+    legacy = b"\x80\x02\x8a\x0a\x6c\xfc\x9c\x46\xf9\x20\x6a\xa8\x50\x19"
     try:
         with open(path, "rb") as f:
-            head = f.read(2)
-        return head == b"\x80\x02"  # torch legacy always uses protocol 2
+            head = f.read(len(legacy))
+        return head == legacy
     except OSError:
         return False
 

@@ -1028,6 +1028,18 @@ class Trainer:
             self.stage_cfg = dataclass_replace(cfg, splat_cap=new_cap,
                                                splat_cells=new_cells)
             self._step_fn = None
+        elif need > cfg.splat_cap and cfg.splat_cap >= cfg.splat_cap_max:
+            # saturated at the certified policy cap: candidate drops persist
+            # for the rest of the stage.  Surface it once per stage (not per
+            # remesh) so a density regression is visible without spamming —
+            # the per-step OVERFLOW counter still reports the magnitude.
+            if not getattr(self, "_splat_sat_warned", False):
+                print(f"WARNING: splat cell cap saturated at splat_cap_max="
+                      f"{cfg.splat_cap_max} (max occupancy {need}); dropping "
+                      f"~{int(info['splat_overflow'])} candidates/step under "
+                      f"the even-stride policy for the rest of the stage",
+                      flush=True)
+                self._splat_sat_warned = True
 
     def _check_splat_cells_shrink(self):
         """SHRINK the active-cell capacity when the measured active count has
@@ -1134,6 +1146,7 @@ class Trainer:
         self._step_fn = None
         self.forward_time = 0
         self._nv_recent = []  # per-stage shrink watermark history
+        self._splat_sat_warned = False  # re-warn once per stage
 
     def set_mesh(self, mesh):
         """Train data-parallel over a 1-D device mesh ("dp").
@@ -1223,6 +1236,27 @@ class Trainer:
                 if batch is not None:
                     cv2.imwrite(osp.join(debug_root, f"gm{i}.png"),
                                 (batch["mask"][i] * 255).astype(np.uint8))
+                # rgb + normal debug renders (network.py:374-447 dumps these
+                # too): Phong shading of the deformed mesh and a world-space
+                # face-normal visualization of the same fragments
+                from ..ops.rasterize import rasterize_mesh
+                from ..render.shading import phong_shade
+                from ..render.camera import cam_pos
+                from ..utils import meshops
+                dvi = jnp.asarray(dv[i])
+                frags = rasterize_mesh(cam, dvi, tmp.faces, tmp.face_valid,
+                                       cfg.raster_footprint)
+                rgb, hit = phong_shade(cam, dvi, tmp.faces, tmp.face_valid,
+                                       frags, cam_pos(cam))
+                fn = meshops.face_normals(dvi, tmp.faces)
+                nimg = jnp.where(
+                    (frags.pix_to_face >= 0)[..., None],
+                    fn[jnp.maximum(frags.pix_to_face, 0)] * 0.5 + 0.5, 1.0)
+                rgb, nimg = jax.device_get((rgb, nimg))
+                cv2.imwrite(osp.join(debug_root, f"rgb{i}.png"),
+                            (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+                cv2.imwrite(osp.join(debug_root, f"n{i}.png"),
+                            (np.clip(nimg, 0, 1) * 255).astype(np.uint8))
         except ImportError:
             pass
 
@@ -1315,7 +1349,9 @@ class Trainer:
         self.forward_time += 1
         self.opt_times += 1
         if sync:
-            info = {k: float(v) for k, v in info.items()}
+            # one batched device_get (async copies + single sync), not ~15
+            # serial per-scalar round-trips through the tunnel
+            info = {k: float(v) for k, v in jax.device_get(info).items()}
         self.info = info
         self.info["remesh"] = self.remesh_time
         return self.info

@@ -466,7 +466,12 @@ def _splat_bin_pl(col, row, z, point_valid, r_pix, H, W, cap,
     _, rank = jax.lax.sort_key_val(sorted_idx, payload)
 
     # active-cell compaction (ascending ids, padded with the n_cells
-    # sentinel whose count is defined as 0 below)
+    # sentinel whose count is defined as 0 below).  When the true active
+    # count exceeds A, nonzero(..., size=A) keeps the ascending-id PREFIX —
+    # the dropped cells are always the highest cell ids, i.e. the BOTTOM
+    # image rows render mask=0 with zero gradient until the watermark grows
+    # the list (at most remesh_intersect steps).  The drop is counted in ovf;
+    # the spatial bias is acceptable only because the repair is prompt.
     A = min(int(active_cells), n_cells)
     A = -(-A // _CB) * _CB
     act_ids = jnp.nonzero(counts > 0, size=A, fill_value=n_cells)[0] \

@@ -68,3 +68,22 @@ def test_losses_improve_on_repeated_batch(trainer):
         mask.append(info["pc_mask_loss"])
     assert min(color[-3:]) < color[0] * 0.9, color
     assert max(mask) < mask[0] + 0.05, mask
+
+
+def test_save_debug_writes_renders(trainer, tmp_path):
+    """save_debug parity (network.py:374-447): meshes + splat masks + rgb
+    Phong render + world-space normal visualization per frame."""
+    import os.path as osp
+    tr, ds = trainer
+    fids = np.array([0, 1, 2])
+    tr.save_debug(str(tmp_path), fids, ds.batch(fids))
+    for name in ("tmp.ply", "def_0.ply", "def1_0.ply", "m0.png", "gm0.png",
+                 "rgb0.png", "n0.png"):
+        assert osp.isfile(osp.join(str(tmp_path), name)), name
+    import cv2
+    rgb = cv2.imread(osp.join(str(tmp_path), "rgb0.png"))
+    nimg = cv2.imread(osp.join(str(tmp_path), "n0.png"))
+    H, W = ds.H, ds.W
+    assert rgb.shape == (H, W, 3) and nimg.shape == (H, W, 3)
+    # the normal image must contain both background (255) and body pixels
+    assert (nimg < 250).any() and (nimg == 255).any()
