@@ -134,6 +134,9 @@ class StageStatic:
     opt_cam_T: bool = True
     has_normals: bool = False
     surf_iters: int = 10
+    surf_newton: bool = True    # False = reference-exact Cauchy surface solve
+                                # (utils/FindSurfacePs.py:114-163); the A/B
+                                # harness toggles this per variant
 
 
 class TemplateState(NamedTuple):
@@ -226,7 +229,8 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
     # training values, utils/FindSurfacePs.py:121 / model/network.py:539);
     # inference overrides dthreshold only (see engine/inference.py).
     surf_cfg = SurfaceConfig(n_iters=cfg.surf_iters,
-                             athreshold_deg=ang_thresh_deg)
+                             athreshold_deg=ang_thresh_deg,
+                             newton=cfg.surf_newton)
     surface_points = make_surface_points_fn(sdf_net, trans_net, surf_cfg)
     w = cfg.weights
     N, H, W = cfg.N, cfg.H, cfg.W

@@ -563,11 +563,17 @@ def _splat_core_pl_fwd(col, row, z, point_valid, r_pix, H, W, cap, acells):
 
 
 def _splat_core_pl_bwd(r_pix, H, W, cap, acells, res, g):
-    """Backward without any scatter: a Pallas kernel produces per-candidate
-    (d col, d row) sums over the active cells' pixels; the inverse table
-    permutation (second sort, carried in the residuals) gathers them back
-    per entry, and the 4 fixed entry slots per point reduce with plain adds.
-    Slice loop mirrors the forward's."""
+    """Backward without any sort or searchsorted over the entry axis: a
+    Pallas kernel produces per-candidate (d col, d row) sums over the active
+    cells' pixels; those reduce to per-point grads either by scatter-add on
+    the candidate point ids ("scatter" mode) or by the inverse table
+    permutation gathered per entry ("gather" mode, the default).  Slice loop
+    mirrors the forward's.
+
+    SRTPU_SPLAT_BWD=scatter selects the scatter-add reduction: kernel
+    outputs for sentinel (padding) candidates are exactly zero, so adding
+    every table position to its candidate's point row equals the per-entry
+    gather over the selected subset."""
     (col, row, z, point_valid, mask, cells, evalid, sorted_idx, act_ids,
      starts_a, counts_a, rank, starts) = res
     g, _ = g  # (mask cotangent, int overflow cotangent — discarded)
@@ -579,21 +585,38 @@ def _splat_core_pl_bwd(r_pix, H, W, cap, acells, res, g):
     cot_cells = jnp.moveaxis(
         cot_pad.reshape(ncy, cs, ncx, cs), 1, 2).reshape(n_cells, cs * cs)
     cot_act = cot_cells[jnp.clip(act_ids, 0, n_cells - 1)]  # (A, P)
+    N = col.shape[0]
+
+    if _os.environ.get("SRTPU_SPLAT_BWD", "gather") == "scatter":
+        gcp = jnp.zeros_like(col, shape=(N + 1,))
+        grp = jnp.zeros_like(row, shape=(N + 1,))
+        for lo in range(0, cap, PR._CAP_SLICE):
+            S = min(PR._CAP_SLICE, cap - lo)
+            cand = _cand_slice(sorted_idx, starts_a, counts_a, N, cap, lo, S)
+            pts_t = _splat_pts_tensor(col, row, cand)       # (A, 2, S)
+            gc = PR.splat_bwd_cells_idx(pts_t, act_ids, cot_act, cs, ncx,
+                                        r_pix, _CB)
+            idx = jnp.where(cand >= 0, cand, N).reshape(-1)
+            gcp = gcp.at[idx].add(gc[:, 0, :].reshape(-1))
+            grp = grp.at[idx].add(gc[:, 1, :].reshape(-1))
+        return (gcp[:-1], grp[:-1],
+                jnp.zeros_like(z), jnp.zeros_like(point_valid))
 
     # per-entry inverse mapping: run offset -> table slot (stride-aware:
     # cells over capacity keep an even subsample of their run, binning.py)
-    # + the entry's ACTIVE row (searchsorted over the ascending id list)
+    # + the entry's ACTIVE row.  The cell id -> active row map is a dense
+    # (n_cells+1,) table built with one tiny scatter: a searchsorted over
+    # the 4N entry axis costs log2(A) serialized gather rounds, this is one.
     from .binning import table_slot_of_rank
-    counts_full = jnp.concatenate(
-        [starts[1:] - starts[:-1],
-         jnp.zeros((1,), starts.dtype)]).astype(jnp.int32)
-    counts_c = counts_full[jnp.minimum(cells, n_cells - 1)]
-    slot, selected = table_slot_of_rank(rank - starts[cells], counts_c, cap)
-    arow = jnp.clip(jnp.searchsorted(act_ids, cells), 0,
-                    act_ids.shape[0] - 1)
-    in_act = act_ids[arow] == cells                         # dropped cells out
+    A = act_ids.shape[0]
+    inv_act = jnp.zeros((n_cells + 1,), jnp.int32).at[act_ids].set(
+        jnp.arange(A, dtype=jnp.int32) + 1)
+    arow1 = inv_act[jnp.clip(cells, 0, n_cells)]            # (4N,)
+    in_act = arow1 > 0                                      # dropped cells out
+    arow = jnp.maximum(arow1 - 1, 0)
+    counts_c = counts_a[arow]                               # masked by in_act
+    slot, selected = table_slot_of_rank(rank - starts_a[arow], counts_c, cap)
     in_table = evalid & selected & in_act
-    N = col.shape[0]
     g_col_e = jnp.zeros_like(col, shape=(4 * N,))
     g_row_e = jnp.zeros_like(row, shape=(4 * N,))
     for lo in range(0, cap, PR._CAP_SLICE):

@@ -50,6 +50,26 @@ def test_checkpoint_roundtrip(trained):
     assert np.isfinite(info["loss"])
 
 
+def test_checkpoint_restores_bbox_and_mc_caps(trained):
+    """Grown sweep-bbox + per-resolution MC caps are watermark state: a
+    resumed run must not re-pay the grow-and-retry remeshes (VERDICT r3 #7).
+    """
+    tr, ds, root = trained
+    b_min0 = np.asarray(tr.b_min).copy()
+    b_max0 = np.asarray(tr.b_max).copy()
+    tr.b_min = b_min0 - 0.08          # simulate two directional growths
+    tr.b_max = b_max0 + 0.04
+    tr._mc_caps[(9, 13, 9)] = (4096, 8192, 512)
+    path = osp.join(root, "ck_bbox.pkl")
+    save_checkpoint(path, tr, epoch=4)
+    tr.b_min, tr.b_max = b_min0, b_max0
+    tr._mc_caps.pop((9, 13, 9))
+    load_checkpoint(path, tr)
+    np.testing.assert_allclose(np.asarray(tr.b_min), b_min0 - 0.08)
+    np.testing.assert_allclose(np.asarray(tr.b_max), b_max0 + 0.04)
+    assert tuple(tr._mc_caps[(9, 13, 9)]) == (4096, 8192, 512)
+
+
 def test_exact_resume_reproduces_uninterrupted_step(trained):
     """save -> load into a FRESH trainer -> one step must reproduce the
     uninterrupted run's step (loss + params) to fp tolerance, including the

@@ -130,6 +130,32 @@ def test_splat_v2_grads_match_scatter():
     np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-5)
 
 
+def test_splat_bwd_scatter_mode_matches_gather(monkeypatch):
+    """SRTPU_SPLAT_BWD=scatter reduces the Pallas kernel's per-candidate
+    grads by scatter-add on candidate point ids instead of the per-entry
+    inverse-permutation gather; both must produce identical point grads,
+    including under per-cell overflow (even-stride selection)."""
+    cam = _cam(64, 64)
+    rng = np.random.default_rng(11)
+    pts = np.zeros((600, 3), np.float32)
+    pts[:, :2] = rng.uniform(-0.15, 0.15, (600, 2))  # dense -> overflow
+    pts[:, 2] = rng.uniform(-0.05, 0.05, 600)
+    pts = jnp.asarray(pts)
+    pv = jnp.asarray(rng.random(600) > 0.05)
+    tgt = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+
+    def loss(p):
+        return (splat_mask(cam, p, pv, 0.05, 9) * tgt).sum()
+
+    # jit both (fresh callables -> fresh traces); eager-vs-jit float
+    # ordering would otherwise add ~1e-6 noise unrelated to the mode
+    monkeypatch.delenv("SRTPU_SPLAT_BWD", raising=False)
+    g_gather = np.asarray(jax.jit(jax.grad(loss))(pts))
+    monkeypatch.setenv("SRTPU_SPLAT_BWD", "scatter")
+    g_scatter = np.asarray(jax.jit(jax.grad(lambda p: loss(p)))(pts))
+    np.testing.assert_allclose(g_gather, g_scatter, rtol=1e-6, atol=0)
+
+
 def test_splat_v2_camera_grads_flow():
     cam = _cam(48, 48)
     rng = np.random.default_rng(3)

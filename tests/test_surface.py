@@ -90,6 +90,31 @@ def test_surface_points_converge(setup):
     assert float(jnp.abs(jnp.where(done, s, 0.0)).max()) < 5e-4
 
 
+def test_early_exit_matches_static_loop(setup):
+    """SurfaceConfig.early_exit swaps the static fori_loop for a while_loop
+    that stops once every point converges; converged points are held fixed
+    by the body, so both must return bit-identical results."""
+    (net, tnet, deformer, cfg, sdf_params, tparams, init_pts, batch_inds,
+     dcond, poses, trans, cam_c) = setup
+    rays = _rays_for(setup)
+
+    def solve(c):
+        return optimize_surface_points(
+            sdf_params, tparams, net, deformer, init_pts, batch_inds, dcond,
+            poses, trans, rays, cam_c, 1.0, 1.0, c)
+
+    for newton in (True, False):
+        a_pts, a_done = jax.jit(lambda: solve(
+            cfg._replace(newton=newton)))()
+        b_pts, b_done = jax.jit(lambda: solve(
+            cfg._replace(newton=newton, early_exit=True)))()
+        assert bool(jnp.all(a_done == b_done)), newton
+        # only converged points are consumed downstream; unconverged ones may
+        # differ by the dead-tail iterations the early exit skips
+        d = jnp.abs(jnp.where(a_done[:, None], a_pts - b_pts, 0.0))
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-7, err_msg=str(newton))
+
+
 @pytest.mark.parametrize("wrt", ["dcond", "trans", "cam_c", "rays"])
 def test_implicit_gradients_match_fd(setup, wrt):
     """The custom_vjp gradient is the IFT gradient of the EXACT root.  The

@@ -91,6 +91,18 @@ def test_detection_and_parse(tmp_path):
         pickle.dump({"epoch": 1, "params": {}}, f)
     assert is_torch_checkpoint(pth)
     assert not is_torch_checkpoint(pkl)
+    # a protocol-2 pickle of OUR OWN checkpoint shares the b"\x80\x02" opcode
+    # with torch legacy files; only the full legacy magic may route to torch
+    pkl2 = str(tmp_path / "ours_p2.pkl")
+    with open(pkl2, "wb") as f:
+        pickle.dump({"epoch": 1, "params": {}}, f, protocol=2)
+    assert not is_torch_checkpoint(pkl2)
+    # ...while a real legacy-format torch file (pre-zip serialization) must
+    # still be detected by its pickled magic number
+    legacy = str(tmp_path / "legacy.pth")
+    torch.save({"x": torch.zeros(2)}, legacy,
+               _use_new_zipfile_serialization=False)
+    assert is_torch_checkpoint(legacy)
     epoch, params, ds = load_reference_pth(pth)
     assert epoch == 3
     assert set(params) == {"sdf", "trans", "render"}

@@ -78,7 +78,7 @@ def run_variant(label, overrides, args, root):
     tr = Trainer(ds, smpl, conf, PROD_RES, data_root=root)
     sdf_cache = osp.join(root, "initial_sdf_idr_6_1.npz")
     tr.initialize_sdf(1200, cache_path=sdf_cache)
-    tr.set_stage("coarse")
+    tr.set_stage(args.stage)
     if overrides:
         tr.override_stage(**overrides)
     tr.preload_frames(verbose=False)
@@ -123,6 +123,8 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--h", type=int, default=512)
     ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--stage", default="coarse",
+                    choices=["coarse", "medium", "fine"])
     ap.add_argument("--variants", nargs="+",
                     default=["base", "frag_inits", "anchor_full"])
     args = ap.parse_args()
@@ -139,6 +141,13 @@ def main():
         "base": {},                                   # shipped defaults
         "frag_inits": {"point_inits": False},         # reference-exact seeding
         "anchor_full": {"anchor_sub": 0},             # reference-exact anchor
+        "cauchy": {"surf_newton": False},             # reference-exact solve
+                                                      # (FindSurfacePs.py:114)
+        "splat_free": {"splat_cap": 1024,             # lift the certified
+                       "splat_cap_max": 4096},        # splat decimation cap
+        "ref_exact": {"point_inits": False, "anchor_sub": 0,
+                      "surf_newton": False,
+                      "splat_cap": 1024, "splat_cap_max": 4096},
     }
     results = []
     for v in args.variants:
