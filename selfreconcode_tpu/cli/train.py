@@ -220,10 +220,33 @@ def main(argv=None, resolutions=None, skinner_res=None, tune=None):
         # previous step's scalars are fetched, so host latency (decode,
         # transfers, RPC dispatch) overlaps device compute
         pending = None
-        if device_cached:
+        if (device_cached and getattr(trainer, "_mesh", None) is None
+                and os.environ.get("SRTPU_SCHED")):
+            # scheduled path (OPT-IN via SRTPU_SCHED=1): the shuffled
+            # schedule + lr + RNG key are uploaded ONCE and each step needs
+            # 3 dispatches instead of ~10 host ops.  Semantically equivalent
+            # (test_scheduled_epoch_matches_plain_steps) and it removes the
+            # measured 0.077 s/step host-op gap — but the first production
+            # trial at 1080p ran 0.9-3.3 s/it (vs 0.24 on the plain path),
+            # cause not yet isolated (suspect: XLA fusing the full-cache
+            # gather into geom's image consumers).  Off by default until
+            # profiled.
             ids = sampler.epoch_ids()
-            groups = [ids[i:i + bs] for i in range(0, len(ids), bs)]
-            it = ((g, None) for g in groups if len(g) == bs)
+            groups = np.asarray([ids[i:i + bs]
+                                 for i in range(0, len(ids) - bs + 1, bs)],
+                                np.int32).reshape(-1, bs)
+            key, kep = jax.random.split(key)
+            trainer.begin_scheduled_epoch(groups, lr, kep)
+            for di in range(groups.shape[0]):
+                t0 = time.time()
+                info = trainer.train_step_scheduled()
+                if pending is not None:
+                    report(pending[0], pending[1], time.time() - pending[2])
+                pending = (di, info, t0)
+                if (in_fine and trainer.forward_time
+                        % trainer.stage_cfg.remesh_intersect == 1):
+                    trainer.save_debug(debug_root, groups[di], None)
+            it = ()
         else:
             it = batch_iterator(dataset, sampler, bs)
         for di, (fids, batch) in enumerate(it):

@@ -624,9 +624,66 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
         info["frag_overflow"] = frag_ovf
         return new_state, info
 
+    def make_fused(has_normal_cache: bool):
+        """Scheduled-epoch wrapper for the device-cached path: 3 dispatches
+        per step instead of ~10 host ops.
+
+        The plain `step` needs ~10 host ops per call (3 pass dispatches +
+        per-step uploads of fids/windows/ratios/lr + 3 cache gathers + key
+        split); through the remote tunnel each costs ~8 ms — measured as the
+        0.077 s/step wall-vs-device gap of the acceptance run.  Here the
+        whole epoch schedule lives on device; the prologue (schedule reads,
+        batch gather, window lookup, RNG fold) is fused INTO the geom pass
+        and the step index feeds back as an output.  (Inlining all three
+        passes into one program was tried and reverted: XLA's fusion pass
+        exploring the cross-pass graph blew the compile up ~16x.)"""
+
+        @jax.jit
+        def sched_geom(state, deformer, di, cache, sched, win_table, lr,
+                       rdef, key_ep):
+            # deformer MUST be an argument: closure-capturing it inlines the
+            # skinner weight volume as an HLO constant and the remote compile
+            # request blows past the HTTP body limit (PERF.md single-op
+            # findings; reproduced here as an HTTP 413)
+            fids = sched[di]                            # (N,)
+            windows = win_table[fids]                   # (N, window)
+            ratios = jnp.stack([jnp.asarray(1.0, jnp.float32),
+                                rdef[di],
+                                jnp.asarray(1.0, jnp.float32)])
+            key = jax.random.fold_in(key_ep, di)
+            k_sel, k_loss = jax.random.split(key)
+            gtCs = cache["img"][fids]
+            gtMs = cache["mask"][fids]
+            if has_normal_cache:
+                gtNs = cache["normal"][fids]
+            else:
+                gtNs = jnp.zeros((N, H, W, 3), jnp.float32)
+            geom = geom_pass(state, deformer, gtMs, fids, ratios, k_sel)
+            return (di + 1, fids, windows, ratios, k_loss, gtCs, gtNs, geom)
+
+        def fused(state, di, cache, sched, win_table, lr, rdef, key_ep):
+            (di1, fids, windows, ratios, k_loss, gtCs, gtNs,
+             (init_pts, sel_ok, ray_binds, ray_rows, ray_cols, mgtMs,
+              frag_ovf)) = sched_geom(state, deformer, di, cache, sched,
+                                      win_table, lr, rdef, key_ep)
+            (new_tmp, g_params_in, g_bank_in, pc_loss_val, masks,
+             pc_info) = inner_pass(state, deformer, fids, mgtMs, ratios)
+            new_state, info, outer_val = outer_pass(
+                state, deformer, new_tmp, g_params_in, g_bank_in, gtCs,
+                gtNs, fids, init_pts, sel_ok, ray_rows, ray_cols, ray_binds,
+                windows, ratios, lr, k_loss)
+            info.update(pc_info)
+            info["loss"] = outer_val + pc_loss_val
+            info["pred_mask_sum"] = masks.sum()
+            info["frag_overflow"] = frag_ovf
+            return new_state, di1, info
+
+        return fused
+
     step.geom_pass = geom_pass        # exposed for diagnostics
     step.inner_pass = inner_pass
     step.outer_pass = outer_pass
+    step.make_fused = make_fused
     return step
 
 
@@ -1313,6 +1370,65 @@ class Trainer:
         out = {k: self._take_fn(v, ids) for k, v in self._frame_cache.items()}
         return out
 
+    # -- scheduled (device-resident) epoch path -----------------------------
+    def begin_scheduled_epoch(self, groups: np.ndarray, lr: float, key):
+        """Upload one epoch's shuffled fid batches (G, N) + lr + RNG key to
+        the device so each step is a single dispatch (see make_fused).
+        Requires the device frame cache; not available on a sharded mesh
+        (the mesh path device_puts images with an explicit sharding)."""
+        assert self._frame_cache is not None, "preload_frames first"
+        assert getattr(self, "_mesh", None) is None, \
+            "scheduled epochs are single-device; use train_step on a mesh"
+        cfg = self.stage_cfg
+        groups = np.asarray(groups, np.int32)
+        assert groups.ndim == 2 and groups.shape[1] == cfg.N, groups.shape
+        self._sched_host = groups
+        self._sched_dev = jnp.asarray(groups)
+        if (getattr(self, "_win_dev", None) is None
+                or self._win_dev.shape[1] != cfg.window):
+            wt, _ = self.dataset.window_indices(
+                np.arange(self.dataset.frame_num), cfg.window)
+            self._win_dev = jnp.asarray(wt.astype(np.int32))
+        self._lr_dev = jnp.asarray(lr, jnp.float32)
+        # per-step deformer-ratio schedule precomputed on the HOST with the
+        # exact reference formula (opt_times/2500+0.5, train.py:165) — an
+        # on-device f32 recomputation rounds differently by ~1 ulp, which is
+        # enough to break bit-parity with the plain path
+        G = groups.shape[0]
+        self._rdef_dev = jnp.asarray(
+            np.asarray([(self.opt_times + i) / 2500.0 + 0.5
+                        for i in range(G)], np.float32))
+        self._key_ep = key
+        self._di_dev = jnp.asarray(0, jnp.int32)
+
+    def train_step_scheduled(self):
+        """One step of the scheduled epoch: a single jitted dispatch; the
+        info dict stays on device (fetch it one-step-delayed)."""
+        cfg = self.stage_cfg
+        if self.forward_time % cfg.remesh_intersect == 0:
+            self.remesh(1.0)
+        fused = self._get_fused_fn()
+        self.state, self._di_dev, info = fused(
+            self.state, self._di_dev, self._frame_cache, self._sched_dev,
+            self._win_dev, self._lr_dev, self._rdef_dev, self._key_ep)
+        self.remesh_time = (np.floor(self.remesh_time)
+                            + (self.forward_time % cfg.remesh_intersect)
+                            / cfg.remesh_intersect)
+        self.forward_time += 1
+        self.opt_times += 1
+        info["remesh"] = self.remesh_time
+        self.info = info
+        return info
+
+    def _get_fused_fn(self):
+        step = self._get_step_fn()
+        if (getattr(self, "_fused_fn", None) is None
+                or self._fused_fn_src is not step):
+            has_n = "normal" in (self._frame_cache or {})
+            self._fused_fn = step.make_fused(has_n)
+            self._fused_fn_src = step
+        return self._fused_fn
+
     # -- one optimization step ---------------------------------------------
     def train_step(self, fids: np.ndarray, batch: dict, lr: float, key,
                    sync: bool = True):
@@ -1516,20 +1632,26 @@ def bench_throughput(sample_rays: int = 6144, H: int = 512, W: int = 512,
     tr._check_splat_cap()
     tr._act_recent = [int(info["splat_active"])] * 3
     tr._check_splat_cells_shrink()
-    step = tr._get_step_fn()
     cfg = tr.stage_cfg
-    gtCs, gtMs, gtNs, fids, windows, key = batches[1]
-    state, info = step(state, gtCs, gtMs, gtNs, fids, windows, ratios, lr,
-                       key)
+
+    # measured loop on the PRODUCTION path: device-resident schedule, one
+    # fused dispatch per step (what cli/train.py runs when the frame cache
+    # is on) — a real trajectory, different batch + folded key every step
+    tr.state = state
+    tr.preload_frames(verbose=False)
+    sched = np.stack([(np.arange(cfg.N) + i * cfg.N) % ds.frame_num
+                      for i in range(iters + 1)]).astype(np.int32)
+    tr.forward_time = 1          # keep remesh ticks out of the measured loop
+    tr.begin_scheduled_epoch(sched, 1e-4, jax.random.PRNGKey(2000))
+    info = tr.train_step_scheduled()          # compiles the fused program
     fetch(info["loss"])
 
     t0 = time.perf_counter()
     for i in range(iters):
-        gtCs, gtMs, gtNs, fids, windows, key = batches[i % n_batches]
-        state, info = step(state, gtCs, gtMs, gtNs, fids, windows, ratios,
-                           lr, key)
+        info = tr.train_step_scheduled()
     fetch(info["loss"])
     step_s = (time.perf_counter() - t0) / iters
+    state = tr.state
 
     # warm remesh at the trained state, amortized at the stage cadence
     tr.state = state

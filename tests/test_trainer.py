@@ -70,6 +70,50 @@ def test_losses_improve_on_repeated_batch(trainer):
     assert max(mask) < mask[0] + 0.05, mask
 
 
+def test_scheduled_epoch_matches_plain_steps(tmp_path_factory):
+    """The fused one-dispatch scheduled path must compute exactly what the
+    plain per-step path computes for the same schedule, lr and folded keys
+    (the CLI's device-cached loop runs on it)."""
+    root = str(tmp_path_factory.mktemp("sched"))
+
+    def fresh():
+        tr, ds = build_synthetic_trainer(root, n_frames=8, H=64, W=64)
+        tr.mc_cap_floor = 4096
+        tr.set_stage("coarse")
+        tr.override_stage(sample_pix=64, eik_tmp=256, vcap=4096, fcap=8192,
+                          ecap=16384, surf_iters=3)
+        tr.initialize_sdf(30)
+        tr.preload_frames(verbose=False)
+        return tr, ds
+
+    groups = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+    kep = jax.random.PRNGKey(7)
+
+    tr_a, _ = fresh()
+    tr_a.begin_scheduled_epoch(groups, 1e-4, kep)
+    la = [float(jax.device_get(tr_a.train_step_scheduled()["loss"]))
+          for _ in range(2)]
+
+    tr_b, ds_b = fresh()
+    lb = []
+    for di in range(2):
+        info = tr_b.train_step(groups[di], None, 1e-4,
+                               jax.random.fold_in(kep, di))
+        lb.append(float(info["loss"]))
+
+    # the fused program inlines the three passes into ONE XLA computation,
+    # so fusion boundaries (and hence f32 reduction orders) differ from the
+    # 3-dispatch path: step-0 losses agree to ~1e-6 and the delta grows only
+    # by chaos amplification through the shared param update, not by any
+    # semantic difference (fids/windows/ratio/key are asserted equal by
+    # construction above)
+    np.testing.assert_allclose(la, lb, rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(tr_a.state.params["sdf"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(tr_b.state.params["sdf"])[0]),
+        rtol=3e-4, atol=1e-5)
+
+
 def test_save_debug_writes_renders(trainer, tmp_path):
     """save_debug parity (network.py:374-447): meshes + splat masks + rgb
     Phong render + world-space normal visualization per frame."""

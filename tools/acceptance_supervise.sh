@@ -19,6 +19,7 @@ MAX_RESTARTS=${2:-20}
 LOG="$DATA/train.log"
 rm -f /tmp/accept_stop
 
+FAST_FAILS=0
 for attempt in $(seq 0 "$MAX_RESTARTS"); do
   if [ -f /tmp/accept_stop ]; then
     echo "supervisor: stop requested" | tee -a "$LOG"; break
@@ -27,12 +28,24 @@ for attempt in $(seq 0 "$MAX_RESTARTS"); do
   if [ -f "$DATA/rec/latest.pkl" ]; then
     EXTRA="--model $DATA/rec/latest.pkl"
   fi
+  # two quick consecutive failures usually mean a code-path problem, not a
+  # tunnel fault: fall back to the per-step (non-scheduled) train loop
+  if [ "$FAST_FAILS" -ge 2 ]; then
+    export SRTPU_NO_SCHED=1
+    echo "supervisor: falling back to SRTPU_NO_SCHED=1" >> "$LOG"
+  fi
   echo "=== supervisor attempt $attempt $(date -u +%FT%TZ) resume=${EXTRA:-no} ===" >> "$LOG"
+  T_LAUNCH=$(date +%s)
   python -u train.py --conf configs/config.conf --data "$DATA" \
       --save-folder rec --synthetic-body $EXTRA >> "$LOG" 2>&1 &
   echo $! > /tmp/accept_r4.pid
   wait $!
   rc=$?
+  if [ $rc -ne 0 ] && [ $(( $(date +%s) - T_LAUNCH )) -lt 1200 ]; then
+    FAST_FAILS=$(( FAST_FAILS + 1 ))
+  else
+    FAST_FAILS=0
+  fi
   echo "=== supervisor: train exited rc=$rc $(date -u +%FT%TZ) ===" >> "$LOG"
   if [ $rc -eq 0 ]; then
     echo "supervisor: training completed" | tee -a "$LOG"; break
