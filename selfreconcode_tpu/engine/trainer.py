@@ -1632,26 +1632,20 @@ def bench_throughput(sample_rays: int = 6144, H: int = 512, W: int = 512,
     tr._check_splat_cap()
     tr._act_recent = [int(info["splat_active"])] * 3
     tr._check_splat_cells_shrink()
+    step = tr._get_step_fn()
     cfg = tr.stage_cfg
-
-    # measured loop on the PRODUCTION path: device-resident schedule, one
-    # fused dispatch per step (what cli/train.py runs when the frame cache
-    # is on) — a real trajectory, different batch + folded key every step
-    tr.state = state
-    tr.preload_frames(verbose=False)
-    sched = np.stack([(np.arange(cfg.N) + i * cfg.N) % ds.frame_num
-                      for i in range(iters + 1)]).astype(np.int32)
-    tr.forward_time = 1          # keep remesh ticks out of the measured loop
-    tr.begin_scheduled_epoch(sched, 1e-4, jax.random.PRNGKey(2000))
-    info = tr.train_step_scheduled()          # compiles the fused program
+    gtCs, gtMs, gtNs, fids, windows, key = batches[1]
+    state, info = step(state, gtCs, gtMs, gtNs, fids, windows, ratios, lr,
+                       key)
     fetch(info["loss"])
 
     t0 = time.perf_counter()
     for i in range(iters):
-        info = tr.train_step_scheduled()
+        gtCs, gtMs, gtNs, fids, windows, key = batches[i % n_batches]
+        state, info = step(state, gtCs, gtMs, gtNs, fids, windows, ratios,
+                           lr, key)
     fetch(info["loss"])
     step_s = (time.perf_counter() - t0) / iters
-    state = tr.state
 
     # warm remesh at the trained state, amortized at the stage cadence
     tr.state = state
