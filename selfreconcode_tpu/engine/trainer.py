@@ -678,6 +678,7 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
             info["frag_overflow"] = frag_ovf
             return new_state, di1, info
 
+        fused.sched_geom = sched_geom     # exposed for diagnostics
         return fused
 
     step.geom_pass = geom_pass        # exposed for diagnostics
