@@ -220,6 +220,12 @@ def main(argv=None, resolutions=None, skinner_res=None, tune=None):
         # previous step's scalars are fetched, so host latency (decode,
         # transfers, RPC dispatch) overlaps device compute
         pending = None
+        # debug artifacts: the reference arms `draw` once per epoch (at the
+        # previous epoch's end, train.py:186-187) and save_debug disarms it
+        # after one dump (network.py:447) — i.e. ONE dump per fine epoch at
+        # the first remesh tick, not one per tick (~3x/epoch = ~10-15 s of
+        # host fetches at 1080p)
+        drew = not in_fine
         if (device_cached and getattr(trainer, "_mesh", None) is None
                 and os.environ.get("SRTPU_SCHED")):
             # scheduled path (OPT-IN via SRTPU_SCHED=1): the shuffled
@@ -243,9 +249,10 @@ def main(argv=None, resolutions=None, skinner_res=None, tune=None):
                 if pending is not None:
                     report(pending[0], pending[1], time.time() - pending[2])
                 pending = (di, info, t0)
-                if (in_fine and trainer.forward_time
+                if (not drew and trainer.forward_time
                         % trainer.stage_cfg.remesh_intersect == 1):
                     trainer.save_debug(debug_root, groups[di], None)
+                    drew = True
             it = ()
         else:
             it = batch_iterator(dataset, sampler, bs)
@@ -257,11 +264,11 @@ def main(argv=None, resolutions=None, skinner_res=None, tune=None):
             if pending is not None:
                 report(pending[0], pending[1], time.time() - pending[2])
             pending = (di, info, t0)
-            # debug artifact dumps at remesh ticks in the fine stage
-            # (parity: optNet.draw, train.py:186-187 + save_debug)
-            if (in_fine and trainer.forward_time
+            # debug artifact dump, once per fine epoch (see `drew` above)
+            if (not drew and trainer.forward_time
                     % trainer.stage_cfg.remesh_intersect == 1):
                 trainer.save_debug(debug_root, np.asarray(fids), batch)
+                drew = True
         if pending is not None:
             report(pending[0], pending[1], time.time() - pending[2])
         print(f"epoch {epoch} took {time.time() - t_epoch:.1f}s", flush=True)
