@@ -156,21 +156,8 @@ def _write_errors(rec_root: str, mask_errors: np.ndarray) -> float:
 
 
 def _write_ply(path, verts, faces):
-    try:
-        import trimesh
-        trimesh.Trimesh(np.asarray(verts), np.asarray(faces),
-                        process=False).export(path)
-    except ImportError:
-        with open(path, "w") as f:
-            f.write("ply\nformat ascii 1.0\n")
-            f.write(f"element vertex {len(verts)}\n")
-            f.write("property float x\nproperty float y\nproperty float z\n")
-            f.write(f"element face {len(faces)}\n")
-            f.write("property list uchar int vertex_indices\nend_header\n")
-            for v in np.asarray(verts):
-                f.write(f"{v[0]} {v[1]} {v[2]}\n")
-            for t in np.asarray(faces):
-                f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+    from ..utils.meshops import write_mesh
+    write_mesh(path, verts, faces)
 
 
 if __name__ == "__main__":

@@ -903,14 +903,30 @@ class Trainer:
                 continue
             n_boundary = int(mc.n_boundary)
             sides = np.asarray(mc.boundary_sides)
-            # lifetime per-side growth budget: an IGR far-field that is
-            # negative far from the body (unconstrained) would otherwise
-            # re-trigger growth at EVERY remesh (bbox_tries resets per call)
-            # and inflate the bbox/voxel size without bound over a run
-            budget = getattr(self, "_bbox_side_budget", None)
-            if budget is None:
-                budget = self._bbox_side_budget = np.full(6, 3, np.int32)
-            sides = np.where(budget > 0, sides, 0)
+            # lifetime per-side growth budget IN WORLD UNITS: an IGR
+            # far-field that is negative far from the body (unconstrained)
+            # would otherwise re-trigger growth at EVERY remesh (bbox_tries
+            # resets per call) and inflate the bbox/voxel size without
+            # bound.  Each side may move at most 50% of the ORIGINAL extent
+            # over the whole run — enough for any genuine clipping repair
+            # (a count budget was tried and failed: an early healthy-margin
+            # repair exhausted it and later real clipping went unrepaired).
+            if getattr(self, "_bbox_grow_left", None) is None:
+                ext0 = (np.asarray(self.b_max)
+                        - np.asarray(self.b_min)).astype(np.float64)
+                self._bbox_grow_left = np.concatenate([0.5 * ext0,
+                                                       0.5 * ext0])  # lo,hi
+            grow_left = self._bbox_grow_left
+            if n_boundary > 0 and not sides.any():
+                # ownerless crossings with ZERO plane inside-counts: the
+                # surface crosses inside the boundary voxel layer without an
+                # inside sample ON the plane itself, so the per-side metric
+                # is blind to it.  Ownerless edges live on the max faces
+                # (cubes own their min-corner edges) — grow the hi sides.
+                sides = sides.copy()
+                sides[[1, 3, 5]] = 1
+            # grow_left layout [lo_xyz, hi_xyz] -> sides layout (x-,x+,...)
+            sides = np.where(grow_left[[0, 3, 1, 4, 2, 5]] > 0, sides, 0)
             if sides.any() and nv > 0 and bbox_tries < 3:
                 # margin-invariant violation: the surface is clipped by a
                 # bbox face (inside samples on the plane; on +sides this
@@ -926,9 +942,14 @@ class Trainer:
                 ext = self.b_max - self.b_min
                 lo_hit = sides[[0, 2, 4]] > 0
                 hi_hit = sides[[1, 3, 5]] > 0
-                self.b_min = self.b_min - np.where(lo_hit, 0.08 * ext, 0.0)
-                self.b_max = self.b_max + np.where(hi_hit, 0.08 * ext, 0.0)
-                budget -= (sides > 0).astype(np.int32)
+                lo_amt = np.where(lo_hit,
+                                  np.minimum(0.08 * ext, grow_left[:3]), 0.0)
+                hi_amt = np.where(hi_hit,
+                                  np.minimum(0.08 * ext, grow_left[3:]), 0.0)
+                self.b_min = (self.b_min - lo_amt).astype(np.float32)
+                self.b_max = (self.b_max + hi_amt).astype(np.float32)
+                grow_left[:3] -= lo_amt
+                grow_left[3:] -= hi_amt
                 bbox_tries += 1
                 print(f"growing sweep bbox 8% on clipped sides "
                       f"(attempt {bbox_tries}): plane inside-counts "
@@ -1484,11 +1505,8 @@ def dataclass_replace(dc, **kw):
 
 
 def _export_mesh(path, verts, faces):
-    try:
-        import trimesh
-        trimesh.Trimesh(verts, faces, process=False).export(path)
-    except ImportError:
-        np.savez(path + ".npz", verts=verts, faces=faces)
+    from ..utils.meshops import write_mesh
+    write_mesh(path, verts, faces)
 
 
 def _round_up(x: int, m: int) -> int:

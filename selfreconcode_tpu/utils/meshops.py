@@ -200,3 +200,27 @@ def build_edge_topology(faces: np.ndarray, nf: int, edge_capacity: int):
         "ef_valid": ef_valid,
         "num_edges": ne,
     }
+
+
+def write_mesh(path, verts, faces):
+    """Export a mesh; trimesh when available, else a plain ASCII PLY (this
+    image ships no trimesh — an .npz fallback produced files downstream
+    ply readers could not open)."""
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    try:
+        import trimesh
+        trimesh.Trimesh(verts, faces, process=False).export(path)
+        return
+    except ImportError:
+        pass
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for t in faces:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
