@@ -16,7 +16,11 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser(description="SelfRecon-TPU inference")
     parser.add_argument("--gpu-ids", nargs="+", type=int, default=None)
-    parser.add_argument("--batch-size", default=1, type=int)
+    parser.add_argument("--batch-size", default=1, type=int,
+                        help="frames whose geometry passes are dispatched "
+                        "back-to-back before any host fetch (reference "
+                        "infer.py:132 batches frames; here batching = "
+                        "dispatch pipelining, shapes stay per-frame static)")
     parser.add_argument("--rec-root", default=None)
     parser.add_argument("--frames", default=-1, type=int)
     parser.add_argument("--nV", action="store_true", help="not save video")
@@ -91,11 +95,16 @@ def main(argv=None):
     mask_errors = -1.0 * np.ones(dataset.frame_num)
     state = trainer.state
 
-    for fid in range(n_frames):
-        fd = dataset.frame_data(fid)
-        gt_mask = jnp.asarray(fd["mask"].astype(np.float32))
-        out = infer_frame(state.params, state.bank, state.tmp,
-                          jnp.asarray(fid, jnp.int32), gt_mask)
+    bs = max(1, args.batch_size)
+    frame_iter = []
+    for lo in range(0, n_frames, bs):
+        frame_iter.append(list(range(lo, min(lo + bs, n_frames))))
+    for fid_group in frame_iter:
+      fds = [dataset.frame_data(fid) for fid in fid_group]
+      outs = infer_frame.batched(
+          state.params, state.bank, state.tmp, fid_group,
+          [jnp.asarray(fd["mask"].astype(np.float32)) for fd in fds])
+      for fid, fd, out in zip(fid_group, fds, outs):
         # one batched device->host transfer for every per-frame output
         # (serial np.asarray calls pay a tunnel round-trip EACH)
         out = jax.device_get(out)

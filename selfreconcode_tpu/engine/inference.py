@@ -148,6 +148,22 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False,
         # deformer passed as an argument (never closed over: the weight
         # volume would be inlined as an HLO constant, see Skinner docstring)
         out = _geom(params, bank, tmp, fid, gt_mask, trainer.deformer)
+        return _finish(params, bank, fid, out)
+
+    def infer_batch(params, bank, tmp, fids, gt_masks):
+        """Frame batching (reference infer.py:132 batches frames through the
+        loader): dispatch the geom pass for EVERY frame of the batch before
+        fetching any result, so the expensive tunnel round-trip (the `valid`
+        sync in _finish) overlaps the remaining frames' device work.  Shapes
+        stay static — batching here is dispatch pipelining, not vmap (batched
+        sort/gather rasterization lowers worse on TPU, PERF.md round 1)."""
+        geoms = [_geom(params, bank, tmp, jnp.asarray(fid, jnp.int32),
+                       gt_mask, trainer.deformer)
+                 for fid, gt_mask in zip(fids, gt_masks)]
+        return [_finish(params, bank, fid, out)
+                for fid, out in zip(fids, geoms)]
+
+    def _finish(params, bank, fid, out):
         if notcolor:
             return out
         init_pts = out.pop("init_pts")
@@ -178,6 +194,7 @@ def make_infer_fn(trainer, footprint: int = 8, notcolor: bool = False,
         out["color_img"] = img.reshape(H, W, 3)
         return out
 
+    infer_frame.batched = infer_batch
     return infer_frame
 
 

@@ -47,25 +47,103 @@ class SMPLModel:
     parents: np.ndarray         # (24,) int32 — host-side constant
 
 
+class SMPLSchemaError(ValueError):
+    """A `*_smpl_with_cocoplus_reg.pkl` failed schema validation.
+
+    Every message names the offending field, what was found, and what the
+    standard asset (smpl_pytorch/SMPL.py:27-75) is expected to contain — the
+    loader meets a real downloaded asset for the first time in a user's
+    hands, so errors must be actionable, not shape-mismatch tracebacks deep
+    in the FK code.
+    """
+
+
 def load_smpl_pickle(path: str) -> SMPLModel:
-    """Load a `*_smpl_with_cocoplus_reg.pkl` (same asset the reference uses)."""
+    """Load a `*_smpl_with_cocoplus_reg.pkl` (same asset the reference uses).
+
+    Validates the full schema before building the model; raises
+    SMPLSchemaError with an actionable message on any deviation.
+    """
     with open(path, "rb") as f:
         model = pickle.load(f, encoding="latin1")
+
+    def _fail(msg):
+        raise SMPLSchemaError(f"{path}: {msg}")
+
+    if not isinstance(model, dict):
+        _fail(f"expected a pickled dict, got {type(model).__name__}; the "
+              "asset is the HMR-style *_smpl_with_cocoplus_reg.pkl "
+              "(reference README.md:28)")
+    required = ("v_template", "shapedirs", "posedirs", "J_regressor",
+                "weights", "kintree_table", "f")
+    missing = [k for k in required if k not in model]
+    if missing:
+        _fail(f"missing required key(s) {missing}; present keys: "
+              f"{sorted(model.keys())}")
+
     v_template = np.array(model["v_template"], dtype=np.float64)
+    if v_template.ndim != 2 or v_template.shape[1] != 3 or \
+            v_template.shape[0] < NUM_JOINTS:
+        _fail(f"v_template must be (V,3) with V>={NUM_JOINTS}, got "
+              f"{v_template.shape}")
+    V = v_template.shape[0]
+
     shapedirs = np.array(model["shapedirs"], dtype=np.float64)
     num_betas = shapedirs.shape[-1]
+    if shapedirs.size != V * 3 * num_betas or num_betas < 1:
+        _fail(f"shapedirs must reshape to (V*3, num_betas)=(({V}*3), B), "
+              f"got shape {shapedirs.shape}")
     shapedirs = shapedirs.reshape(-1, num_betas).T
+
     posedirs = np.array(model["posedirs"], dtype=np.float64)
+    if posedirs.shape[-1] != 207 or posedirs.size != V * 3 * 207:
+        _fail(f"posedirs must be (V,3,207) (pose-blend basis over the 23 "
+              f"non-root joint rotations), got shape {posedirs.shape}")
     posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
+
     raw_jr = model["J_regressor"]
     if hasattr(raw_jr, "todense"):  # scipy sparse (the real asset ships CSC)
         j_regressor = np.asarray(raw_jr.todense(), dtype=np.float64)
     else:
         j_regressor = np.array(raw_jr, dtype=np.float64)
+    if j_regressor.shape == (NUM_JOINTS, V) and V != NUM_JOINTS:
+        # plain-SMPL orientation; the cocoplus asset stores (V,24)
+        j_regressor = j_regressor.T
+    if j_regressor.shape != (V, NUM_JOINTS):
+        _fail(f"J_regressor must be (V,{NUM_JOINTS})=({V},{NUM_JOINTS}) "
+              f"(dense or scipy-sparse), got {j_regressor.shape}")
+
     weights = np.array(model["weights"], dtype=np.float64)
-    parents = np.array(model["kintree_table"])[0].astype(np.int32)
-    parents[0] = 0
-    faces = np.array(model["f"], dtype=np.int32)
+    if weights.shape != (V, NUM_JOINTS):
+        _fail(f"weights (LBS skinning weights) must be (V,{NUM_JOINTS})="
+              f"({V},{NUM_JOINTS}), got {weights.shape}")
+    wsum = weights.sum(axis=1)
+    if weights.min() < -1e-4 or abs(wsum - 1.0).max() > 1e-3:
+        _fail(f"weights rows must be a convex combination over joints "
+              f"(min {weights.min():.3g}, row-sum range "
+              f"[{wsum.min():.4f},{wsum.max():.4f}]); this does not look "
+              "like an LBS weight matrix")
+
+    kintree = np.array(model["kintree_table"])
+    if kintree.ndim != 2 or kintree.shape[1] != NUM_JOINTS:
+        _fail(f"kintree_table must be (2,{NUM_JOINTS}), got {kintree.shape}")
+    parents = kintree[0].astype(np.int64)
+    parents[0] = 0  # root sentinel (4294967295 in the real asset)
+    if (parents[1:] >= np.arange(1, NUM_JOINTS)).any() or parents.min() < 0:
+        _fail(f"kintree_table row 0 must be topologically ordered parents "
+              f"(parent[i] < i for i>=1; SMPL's tree satisfies this), got "
+              f"{parents.tolist()} — the unrolled FK chain "
+              "(global_rigid_transform) requires it")
+    parents = parents.astype(np.int32)
+
+    faces = np.array(model["f"], dtype=np.int64)
+    if faces.ndim != 2 or faces.shape[1] != 3 or faces.size == 0:
+        _fail(f"f (faces) must be a non-empty (F,3) int array, got shape "
+              f"{faces.shape}")
+    if faces.min() < 0 or faces.max() >= V:
+        _fail(f"face indices out of range [0,{V}): min {faces.min()}, max "
+              f"{faces.max()} — 1-based or truncated face table?")
+    faces = faces.astype(np.int32)
     return SMPLModel(
         v_template=jnp.asarray(v_template, jnp.float32),
         shapedirs=jnp.asarray(shapedirs, jnp.float32),

@@ -172,3 +172,59 @@ def test_people_snapshot_smoke(tmp_path):
     assert rec["poses"].shape == (F - 1, 24, 3)
     assert rec["trans"].shape == (F - 1, 3)
     assert str(rec["gender"]) == "female"
+
+
+def test_schema_validator_rejects_corrupt_pickles(tmp_path):
+    """load_smpl_pickle meets a real downloaded asset for the first time in a
+    user's hands — every schema deviation must raise an actionable
+    SMPLSchemaError naming the offending field, not a shape traceback deep in
+    the FK (VERDICT r4 next #8)."""
+    from selfreconcode_tpu.models.smpl import SMPLSchemaError
+
+    model = _small_body()
+    good_path = str(tmp_path / "neutral_smpl_with_cocoplus_reg.pkl")
+    save_smpl_pickle(model, good_path)
+    with open(good_path, "rb") as f:
+        good = pickle.load(f, encoding="latin1")
+
+    def corrupt(name, mutate):
+        data = dict(good)
+        mutate(data)
+        p = str(tmp_path / f"bad_{name}.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(data, f, protocol=2)
+        with pytest.raises(SMPLSchemaError) as e:
+            load_smpl_pickle(p)
+        return str(e.value)
+
+    msg = corrupt("missing", lambda d: d.pop("weights"))
+    assert "weights" in msg
+    msg = corrupt("posedirs", lambda d: d.update(
+        posedirs=d["posedirs"][..., :206]))
+    assert "posedirs" in msg and "207" in msg
+    msg = corrupt("faces", lambda d: d.update(
+        f=np.concatenate([d["f"], [[0, 1, d["v_template"].shape[0]]]])))
+    assert "face" in msg
+    V = good["v_template"].shape[0]
+    msg = corrupt("jreg", lambda d: d.update(
+        J_regressor=np.zeros((V, NUM_JOINTS + 1))))
+    assert "J_regressor" in msg
+    bad_kintree = np.array(good["kintree_table"])
+    bad_kintree[0, 5] = 10  # child before parent breaks the unrolled FK
+    msg = corrupt("kintree", lambda d: d.update(kintree_table=bad_kintree))
+    assert "kintree" in msg and "topologically" in msg
+    msg = corrupt("wsum", lambda d: d.update(weights=d["weights"] * 2.0))
+    assert "convex" in msg
+    msg = corrupt("notdict", lambda d: [d.clear(), d.update({})][0] or None)
+    assert "missing required key" in msg
+
+    # plain-SMPL (24,V) J_regressor orientation is normalized, not rejected
+    data = dict(good)
+    data["J_regressor"] = np.asarray(
+        good["J_regressor"].todense()).T
+    p = str(tmp_path / "transposed_jr.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(data, f, protocol=2)
+    loaded = load_smpl_pickle(p)
+    np.testing.assert_allclose(np.asarray(loaded.j_regressor),
+                               np.asarray(model.j_regressor), atol=1e-6)
