@@ -658,6 +658,13 @@ def make_train_step(sdf_net: SDFNet, trans_net: TranslatorNet,
                 gtNs = cache["normal"][fids]
             else:
                 gtNs = jnp.zeros((N, H, W, 3), jnp.float32)
+            # Force the batch gathers to materialize ONCE: without the
+            # barrier XLA is free to fuse the (frame_num,H,W,3) cache gather
+            # into every downstream image consumer, re-gathering from the
+            # full device cache per consumer — the prime suspect for the
+            # 0.9-3.3 s/it scheduled-path regression (PERF.md round 4).
+            gtCs, gtMs, gtNs = jax.lax.optimization_barrier(
+                (gtCs, gtMs, gtNs))
             geom = geom_pass(state, deformer, gtMs, fids, ratios, k_sel)
             return (di + 1, fids, windows, ratios, k_loss, gtCs, gtNs, geom)
 
