@@ -128,3 +128,26 @@ def test_infer_frame_outputs(trained):
     assert int(np.asarray(out["hit"]).sum()) > 10
     img = np.asarray(out["mesh_img"])
     assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_infer_batched_matches_per_frame(trained):
+    """infer_frame.batched (the --batch-size dispatch-pipelined path) must
+    produce exactly the per-frame results — batching only reorders dispatch,
+    never computation (reference infer.py:132 frame batching parity)."""
+    tr, ds, root = trained
+    infer = make_infer_fn(tr, footprint=8)
+    fids = [0, 1, 2]
+    masks = [jnp.asarray(ds.frame_data(f)["mask"].astype(np.float32))
+             for f in fids]
+    singles = [jax.device_get(infer(tr.state.params, tr.state.bank,
+                                    tr.state.tmp, jnp.asarray(f, jnp.int32),
+                                    m))
+               for f, m in zip(fids, masks)]
+    batched = [jax.device_get(o) for o in
+               infer.batched(tr.state.params, tr.state.bank, tr.state.tmp,
+                             fids, masks)]
+    for s, b in zip(singles, batched):
+        assert set(s.keys()) == set(b.keys())
+        for k in s:
+            np.testing.assert_allclose(np.asarray(b[k]), np.asarray(s[k]),
+                                       rtol=1e-6, atol=1e-6, err_msg=k)
