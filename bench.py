@@ -25,15 +25,16 @@ import jax.numpy as jnp
 REFERENCE_STEPS_PER_S = 1.45
 
 
-def bench_train_step():
+def bench_train_step(H: int = 512, W: int = 512):
     """Time the full jitted train step on a synthetic scene if the trainer is
     available; fall back to the surface+loss hot path otherwise."""
     try:
         from selfreconcode_tpu.engine.trainer import bench_throughput
     except (ImportError, AttributeError):
         return ("hotpath_step",) + _hotpath_rate()
-    steps_per_s, detail = bench_throughput(sample_rays=6144)
-    return "train_step", steps_per_s, detail
+    steps_per_s, detail = bench_throughput(sample_rays=6144, H=H, W=W)
+    name = "train_step" if (H, W) == (512, 512) else f"train_step_{H}x{W}"
+    return name, steps_per_s, detail
 
 
 def _hotpath_rate():
@@ -68,7 +69,16 @@ def _hotpath_rate():
 
 
 def main():
-    name, steps_per_s, detail = bench_train_step()
+    # Driver contract: `python bench.py` (no args) = the tracked 512^2 trend.
+    # `--res 1080` measures the same loop at the acceptance image shape
+    # (1080^2 splat/raster footprints — the regression class the 512^2 trend
+    # can't see, VERDICT r4 weak #6); it is opt-in because the synthetic
+    # subject render + compile at 1080^2 adds minutes.
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=512)
+    args = ap.parse_args()
+    name, steps_per_s, detail = bench_train_step(H=args.res, W=args.res)
     line = {
         "metric": f"{name}_per_s",
         "value": round(steps_per_s, 4),
