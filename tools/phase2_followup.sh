@@ -76,15 +76,8 @@ snap
 # ---- 3. full-schedule deviation A/B at the trained state ----
 past_hard "A/B fine" || {
 echo "=== A/B fine from medium.pkl $(date -u +%FT%TZ) ===" >> "$LOG"
-timeout 4200 python -u tools/ab_stage_resume.py --root "$DATA" \
-    --ckpt medium.pkl --stage fine --epochs 2 \
-    --variants base ref_exact >> "$LOG" 2>&1 || true
-snap
-}
-past_hard "A/B medium" || {
-echo "=== A/B medium from coarse.pkl $(date -u +%FT%TZ) ===" >> "$LOG"
-timeout 2700 python -u tools/ab_stage_resume.py --root "$DATA" \
-    --ckpt coarse.pkl --stage medium --epochs 2 \
+timeout 3000 python -u tools/ab_stage_resume.py --root "$DATA" \
+    --ckpt medium.pkl --stage fine --epochs 1 \
     --variants base ref_exact >> "$LOG" 2>&1 || true
 snap
 }
@@ -105,6 +98,15 @@ past_hard "sched profile" || {
 echo "=== scheduled-path profile $(date -u +%FT%TZ) ===" >> "$LOG"
 timeout 1800 python -u tools/profile_sched.py --data "$DATA" \
     >> "$LOG" 2>&1 || true
+snap
+}
+
+# ---- A/B medium (demoted: fine is where acceptance is earned) ----
+past_hard "A/B medium" || {
+echo "=== A/B medium from coarse.pkl $(date -u +%FT%TZ) ===" >> "$LOG"
+timeout 2700 python -u tools/ab_stage_resume.py --root "$DATA" \
+    --ckpt coarse.pkl --stage medium --epochs 1 \
+    --variants base ref_exact >> "$LOG" 2>&1 || true
 snap
 }
 
