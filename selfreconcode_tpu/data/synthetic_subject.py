@@ -30,6 +30,26 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
+def subdiv_topology(faces: np.ndarray, n_verts: int):
+    """One midpoint-subdivision level: returns (edges (E,2) int, faces4
+    (4F,3) int).  New vertex i of the level sits at the midpoint of
+    edges[i] and gets index n_verts+i; the SURFACE IS UNCHANGED (planar
+    split) — this exists purely to bound projected-triangle extent for
+    rasterization.
+    """
+    F = faces.shape[0]
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    uniq, inv = np.unique(np.sort(e, 1), axis=0, return_inverse=True)
+    V_off = n_verts
+    m01, m12, m20 = (inv[:F] + V_off, inv[F:2 * F] + V_off,
+                     inv[2 * F:] + V_off)
+    v0, v1, v2 = faces[:, 0], faces[:, 1], faces[:, 2]
+    faces4 = np.concatenate([
+        np.stack([v0, m01, m20], 1), np.stack([v1, m12, m01], 1),
+        np.stack([v2, m20, m12], 1), np.stack([m01, m12, m20], 1)])
+    return uniq.astype(np.int32), faces4.astype(np.int32)
+
+
 def clothing_offsets(verts: np.ndarray, normals: np.ndarray,
                      amp: float = 0.012, seed: int = 0) -> np.ndarray:
     """Smooth outward displacement field: base inflation + low-frequency
@@ -121,7 +141,8 @@ def make_synthetic_subject(root: str, n_frames: int = 450, H: int = 1080,
     # frame is re-rendered (overwritten), never mixed.
     manifest = {"n_frames": n_frames, "H": H, "W": W, "n_verts": n_verts,
                 "body_res": body_res, "seed": seed,
-                "write_normals": bool(write_normals)}
+                "write_normals": bool(write_normals),
+                "renderer": 2}  # v2 = subdivided + overflow-asserted masks
     mpath = osp.join(root, "subject_manifest.json")
     dpath = osp.join(root, "subject_done.json")
     resume_ok = False
@@ -142,29 +163,58 @@ def make_synthetic_subject(root: str, n_frames: int = 450, H: int = 1080,
              cloth=cloth)
 
     # procedural canonical albedo: stable across frames -> color loss signal
-    canon = jnp.asarray(verts0 + cloth)
-
     light = jnp.asarray([1.5, 2.0, -2.5])
-    faces_j = jnp.asarray(faces)
     Rf = jnp.asarray(flip @ R.T)
 
     # footprint must bound the projected triangle bbox (2x2 cell coverage in
     # the binning): longest template edge x focal / nearest depth, inflated
-    # 1.5x for pose deformation
+    # 1.5x for pose deformation.  Round-5 fix: the raw template's longest
+    # edge demands footprint 64, which lands on the XLA fallback with 64px
+    # cells whose default cell_cap silently DROPPED most candidate faces —
+    # every mask was speckled with triangle holes (63% of the true
+    # silhouette missing) and the r5 acceptance run trained against them.
+    # Now the render-time mesh is midpoint-subdivided (surface unchanged)
+    # until the footprint is small, the cell cap is set from a measured
+    # bound, and the frame loop ASSERTS zero candidate overflow.
     cv = verts0 + cloth
-    e = np.concatenate([cv[faces[:, 1]] - cv[faces[:, 0]],
-                        cv[faces[:, 2]] - cv[faces[:, 1]],
-                        cv[faces[:, 0]] - cv[faces[:, 2]]])
-    e_max = float(np.linalg.norm(e, axis=-1).max())
     z_min = max(float(T[2]) - 1.1, 0.5)
-    footprint = int(np.clip(np.ceil(1.5 * e_max * fx / z_min) + 2, 8, 64))
 
-    @jax.jit
-    def render_frame(pose, tr):
+    def _emax(cvv, ff):
+        e = np.concatenate([cvv[ff[:, 1]] - cvv[ff[:, 0]],
+                            cvv[ff[:, 2]] - cvv[ff[:, 1]],
+                            cvv[ff[:, 0]] - cvv[ff[:, 2]]])
+        return float(np.linalg.norm(e, axis=-1).max())
+
+    def _foot(em):
+        return int(np.clip(np.ceil(1.5 * em * fx / z_min) + 2, 8, 64))
+
+    sub_edges = []              # per-level midpoint edge lists (device)
+    faces_r = faces             # render topology (host)
+    canon_np = (verts0 + cloth).astype(np.float32)
+    n_v = canon_np.shape[0]
+    while _foot(_emax(canon_np, faces_r)) > 24 and len(sub_edges) < 4:
+        edges, faces_r = subdiv_topology(faces_r, n_v)
+        canon_np = np.concatenate(
+            [canon_np, 0.5 * (canon_np[edges[:, 0]] + canon_np[edges[:, 1]])])
+        n_v = canon_np.shape[0]
+        sub_edges.append(jnp.asarray(edges))
+    footprint = _foot(_emax(canon_np, faces_r))
+    canon = jnp.asarray(canon_np)
+    faces_j = jnp.asarray(faces_r)
+    fv = jnp.ones((faces_r.shape[0],), bool)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2, 3))
+    def render_frame(pose, tr, cell_cap, use_pallas=True):
         v, _, _ = smpl_forward(clothed, jnp.zeros((1, 10)),
                                pose.reshape(1, 24, 3))
         v = v[0] + tr[None]
-        frags = rasterize_mesh(cam, v, faces_j, fv, footprint=footprint)
+        for edges in sub_edges:   # refine AFTER posing: pure planar splits
+            v = jnp.concatenate(
+                [v, 0.5 * (v[edges[:, 0]] + v[edges[:, 1]])])
+        frags = rasterize_mesh(cam, v, faces_j, fv, footprint=footprint,
+                               cell_cap=cell_cap, use_pallas=use_pallas)
         hit = frags.pix_to_face >= 0
         f = jnp.maximum(frags.pix_to_face, 0)
         tri = faces_j[f]
@@ -196,7 +246,32 @@ def make_synthetic_subject(root: str, n_frames: int = 450, H: int = 1080,
         n8 = jnp.where(hit[..., None],
                        ((ncam * 0.5 + 0.5) * 255.0 + 0.5), 0.0
                        ).astype(jnp.uint8)
-        return img8, hit.astype(jnp.uint8), n8
+        return img8, hit.astype(jnp.uint8), n8, frags.overflow
+
+    # candidate-capacity ladder: a dropped candidate = a hole in the gt
+    # data, so overflow MUST reach zero (use_pallas=False retries use the
+    # XLA path whose cell_cap is a real parameter)
+    raster_cfg = {"cell_cap": 256, "use_pallas": True}
+
+    def render_checked(pose, tr):
+        while True:
+            img8, m8, n8, ovf = render_frame(
+                pose, tr, raster_cfg["cell_cap"], raster_cfg["use_pallas"])
+            if int(ovf) == 0:
+                return img8, m8, n8
+            if not raster_cfg["use_pallas"] and raster_cfg["cell_cap"] >= 4096:
+                raise RuntimeError(
+                    f"subject render overflow {int(ovf)} at cell_cap "
+                    f"{raster_cfg['cell_cap']}: raise the subdivision depth")
+            if raster_cfg["use_pallas"]:
+                # the pallas kernels' per-cell caps are fixed; an overflow
+                # there moves the render to the XLA path, whose cap is real
+                raster_cfg["use_pallas"] = False
+            else:
+                raster_cfg["cell_cap"] *= 2
+            if verbose:
+                print(f"  subject render: overflow {int(ovf)}, retry with "
+                      f"{raster_cfg}", flush=True)
 
     for fid in range(n_frames):
         # resumable: a frame whose files all exist already is skipped, so an
@@ -208,8 +283,8 @@ def make_synthetic_subject(root: str, n_frames: int = 450, H: int = 1080,
             have.append(osp.join(root, "normals/%d.png" % fid))
         if resume_ok and all(osp.exists(p) for p in have):
             continue
-        img8, m8, n8 = render_frame(jnp.asarray(poses[fid]),
-                                    jnp.asarray(trans[fid]))
+        img8, m8, n8 = render_checked(jnp.asarray(poses[fid]),
+                                      jnp.asarray(trans[fid]))
         img_np = np.asarray(img8)
         cv2.imwrite(osp.join(root, "imgs/%d.png" % fid),
                     img_np[:, :, ::-1])  # dataset reads BGR like cv2 writes

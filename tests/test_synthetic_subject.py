@@ -40,3 +40,23 @@ def test_subject_scene_round_trip(tmp_path):
     gt = np.load(str(tmp_path / "subj" / "gt_mesh.npz"))
     assert gt["verts"].shape == (2000, 3)
     assert (np.linalg.norm(gt["cloth"], axis=-1).max() < 0.05)
+
+
+def test_subject_masks_have_no_interior_holes(tmp_path):
+    """Round-5 regression: the v1 renderer derived a 64px raster footprint
+    from the template's longest edge, overflowed the XLA fallback's default
+    cell_cap=48, and silently dropped ~63% of the silhouette as triangle-
+    shaped holes — which the r5 acceptance run then trained against.  The
+    v2 renderer subdivides the render mesh and ASSERTS zero candidate
+    overflow; a generated mask must be a solid silhouette."""
+    from scipy.ndimage import binary_fill_holes
+
+    root = str(tmp_path / "subj2")
+    make_synthetic_subject(root, n_frames=2, H=128, W=128, n_verts=2000,
+                           body_res=40, verbose=False)
+    ds = SceneDataset(root, {"deformer": 128, "renderer": 128})
+    for fid in range(2):
+        m = ds.frame_data(fid)["mask"] > 0
+        filled = binary_fill_holes(m)
+        holes = (filled ^ m).sum() / max(filled.sum(), 1)
+        assert holes < 0.005, f"frame {fid}: {holes:.3f} interior holes"

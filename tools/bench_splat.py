@@ -94,8 +94,11 @@ def main():
     exact = max(args.caps)
     worst = {cap: {"dm": 0.0, "cos": 1.0, "rel": 0.0, "dl": 0.0, "fid": -1}
              for cap in args.caps}
-    deform = jax.jit(lambda f: deformer_apply(
-        state.params["trans"], tr.deformer, state.tmp.verts, binds,
+    # deformer passed as an ARGUMENT: closure-capturing it in a fresh jit
+    # inlines the skinner volume as an HLO constant and the remote compile
+    # request 413s (PERF.md round 4, hard-won rule)
+    deform = jax.jit(lambda f, dfm: deformer_apply(
+        state.params["trans"], dfm, state.tmp.verts, binds,
         state.bank["cond_deformer"][f][None],
         state.bank["poses"][f][None], state.bank["trans"][f][None], 1.0)[0])
     fwd = {cap: jax.jit(lambda v, c=cap: splat_mask(
@@ -112,7 +115,7 @@ def main():
         lambda v, gtp, c=cap: _loss(v, gtp, c))) for cap in args.caps}
 
     for fi, fid in enumerate(fids):
-        dverts = deform(jnp.asarray(fid, jnp.int32))
+        dverts = deform(jnp.asarray(fid, jnp.int32), tr.deformer)
         gt = jnp.asarray(ds.frame_data(int(fid))["mask"].astype(np.float32))
         gt_pooled = max_pool_mask(gt[None], r_px)[0]
         results = {}
