@@ -263,11 +263,12 @@ def make_synthetic_subject(root: str, n_frames: int = 450, H: int = 1080,
                 raise RuntimeError(
                     f"subject render overflow {int(ovf)} at cell_cap "
                     f"{raster_cfg['cell_cap']}: raise the subdivision depth")
-            if raster_cfg["use_pallas"]:
+            if raster_cfg["use_pallas"] and footprint <= 16:
                 # the pallas kernels' per-cell caps are fixed; an overflow
                 # there moves the render to the XLA path, whose cap is real
                 raster_cfg["use_pallas"] = False
             else:
+                raster_cfg["use_pallas"] = False  # >16 was XLA all along
                 raster_cfg["cell_cap"] *= 2
             if verbose:
                 print(f"  subject render: overflow {int(ovf)}, retry with "
